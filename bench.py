@@ -1,0 +1,74 @@
+"""rt3d benchmark: end-to-end 2-camera replay FPS on one TPU chip.
+
+Reproduces the reference's benchmarked configuration
+(`2cams_mask_gpu.py`: 2x HD720 cameras, yolo11x-seg, 5 mm voxel, classes
+Bottle+Cup, fusion 0.3 / subtraction 0.06) driven from a synthetic recorded
+sequence, and reports FPS against the RTX-4090 baseline (26.25 FPS avg,
+BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_FPS = 26.25  # reference avg FPS, 1 object @5mm voxel (BASELINE.md)
+
+
+def main() -> int:
+    import numpy as np
+    import jax
+
+    from rt3d.config import reference_2cam_config
+    from rt3d.io.synthetic import SyntheticSource
+    from rt3d.pipeline.step import build_pipeline
+    from rt3d.runtime.driver import PipelineDriver
+
+    variant = os.environ.get("RT3D_BENCH_VARIANT", "x")
+    frames = int(os.environ.get("RT3D_BENCH_FRAMES", "60"))
+
+    cfg = reference_2cam_config()
+    if variant != cfg.model.variant:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, variant=variant)
+        )
+
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    if cfg.model.weights and os.path.exists(cfg.model.weights):
+        from rt3d.models.yolo.convert import load_params
+
+        params = {k: jax.numpy.asarray(v) for k, v in load_params(cfg.model.weights).items()}
+
+    # synthetic HD720 2-cam sequence with one moving object (the baseline's
+    # 1-object configuration); pre-render frames so generation cost is not
+    # measured (the reference's camera grab is likewise outside its timings)
+    src = SyntheticSource(num_cameras=2, num_frames=16, hw=(720, 1280),
+                          num_objects=1)
+    packets = [src.get(i) for i in range(16)]
+
+    class Pre:
+        def get(self, i):
+            return packets[i % len(packets)]
+
+    driver = PipelineDriver(pipe, params, mode="fused")
+    res = driver.run(Pre(), num_frames=frames, warmup=3)
+
+    result = {
+        "metric": f"e2e_fps_2cam_5mm_yolo11{variant}_tpu_v5e",
+        "value": round(res.mean_fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(res.mean_fps / BASELINE_FPS, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the app entry points."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import jax
+
+from rt3d.config import Config, reference_2cam_config
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--source", default="synthetic",
+                   help=".rts sequence path, or 'synthetic'")
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--variant", default=None, help="YOLO11 scale n/s/m/l/x")
+    p.add_argument("--weights", default=None, help="converted .npz or raw .pt")
+    p.add_argument("--config", default=None, help="JSON config path")
+    p.add_argument("--mode", default="fused", choices=["fused", "profile"])
+    p.add_argument("--log-dir", default="runs")
+    p.add_argument("--save-ply", action="store_true",
+                   help="dump workspace/object clouds as PLY every 30 frames")
+    p.add_argument("--save-frames", action="store_true",
+                   help="write annotated frames as PNGs")
+
+
+def load_config(args, num_cameras: Optional[int] = None) -> Config:
+    cfg = Config.from_json(args.config) if args.config else reference_2cam_config()
+    if args.variant:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, variant=args.variant)
+        )
+    if args.weights:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, weights=args.weights)
+        )
+    if num_cameras is not None and num_cameras != cfg.rig.num_cameras:
+        from rt3d.config import RigConfig
+
+        cams = tuple(cfg.rig.cameras[i % cfg.rig.num_cameras]
+                     for i in range(num_cameras))
+        cfg = dataclasses.replace(cfg, rig=RigConfig(cameras=cams))
+    return cfg
+
+
+def open_source(args, num_cameras: int, hw: Tuple[int, int] = (720, 1280)):
+    if args.source == "synthetic":
+        from rt3d.io.synthetic import SyntheticSource
+
+        return SyntheticSource(
+            num_cameras=num_cameras, num_frames=None, hw=hw, num_objects=1
+        )
+    from rt3d.io.source import ReplaySource
+
+    return ReplaySource(args.source, loop=True)
+
+
+def load_model_params(pipe, cfg: Config):
+    """Converted weights if configured, else random init (documented:
+    no pretrained checkpoints ship in this environment)."""
+    w = cfg.model.weights
+    if w and os.path.exists(w):
+        if w.endswith(".pt"):
+            from rt3d.models.yolo.convert import convert_checkpoint
+
+            return {
+                k: jax.numpy.asarray(v)
+                for k, v in convert_checkpoint(w, pipe.model).items()
+            }
+        from rt3d.models.yolo.convert import load_params
+
+        return {k: jax.numpy.asarray(v) for k, v in load_params(w).items()}
+    return pipe.model.init(jax.random.PRNGKey(0))

@@ -1,0 +1,64 @@
+"""Single-camera live reconstruction CLI — the `1cam/rt-tracking.py`
+analog: one stream, per-object clouds in the robot frame, periodic scene
+export (PLY every 30 frames, like the reference's Open3D refresh at
+`1cam/rt-tracking.py:267-285`), random-subsample preview clouds."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    from rt3d.apps.common import (
+        add_common_args, load_config, load_model_params, open_source,
+    )
+
+    add_common_args(p)
+    p.add_argument("--subsample", type=float, default=0.05,
+                   help="preview cloud keep-fraction (reference uses 5%%)")
+    args = p.parse_args()
+
+    from rt3d.pipeline.step import build_pipeline
+    from rt3d.runtime.driver import PipelineDriver
+
+    cfg = load_config(args, num_cameras=1)
+    pipe = build_pipeline(cfg)
+    params = load_model_params(pipe, cfg)
+    src = open_source(args, 1, hw=(cfg.rig.cameras[0].intrinsics.height,
+                                   cfg.rig.cameras[0].intrinsics.width))
+    os.makedirs(args.log_dir, exist_ok=True)
+    driver = PipelineDriver(
+        pipe, params, mode=args.mode,
+        fps_log_path=os.path.join(args.log_dir, "fps_log.csv"),
+        timings_path=os.path.join(args.log_dir, "timings.csv"),
+    )
+
+    rng = np.random.default_rng(0)
+
+    def on_frame(i, out):
+        if i % 30 != 0:
+            return
+        from rt3d.viz.cloud import save_ply
+
+        objs = out.per_camera_objects
+        pts = np.asarray(objs.points[0])
+        val = np.asarray(objs.valid[0]) & np.asarray(objs.present[0])[:, None]
+        cloud = pts[val]
+        if len(cloud):
+            keep = rng.uniform(size=len(cloud)) < args.subsample
+            sub = cloud[keep] if keep.any() else cloud
+            save_ply(os.path.join(args.log_dir, f"objects_{i:05d}.ply"), sub)
+
+    res = driver.run(src, num_frames=args.frames,
+                     on_frame=on_frame if args.save_ply else None)
+    print(f"frames={res.frames} mean_fps={res.mean_fps:.2f} "
+          f"median={res.median_fps:.2f} max={res.max_fps:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

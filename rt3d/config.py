@@ -1,0 +1,296 @@
+"""Typed configuration for the rt3d pipeline.
+
+The reference scatters every parameter as hardcoded literals across its entry
+scripts (camera serials `2cam/2cams_mask_gpu.py:66-67`, calibration matrices
+`:109-123`, workspace bounds `:232-234`, voxel sizes `:251`, class filters /
+conf `:274`, fusion & subtraction thresholds `:379,397`) plus tracker YAMLs
+(`trackers/bytetrack.yaml`).  Here all of that lives in one typed, serializable
+config tree.  Defaults reproduce the reference's benchmarked configuration
+(`2cams_mask_gpu.py`, the numbers behind BASELINE.md).
+
+Static shape parameters (padded buffer capacities) are first-class config: on
+TPU every per-frame tensor has a fixed shape, so capacities like
+``max_detections`` and ``max_points_per_object`` are compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Camera model
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Intrinsics:
+    """Pinhole intrinsics (reference: ZED factory calibration, `2cams.py:90-96`)."""
+
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int = 1280
+    height: int = 720
+
+    def scaled(self, sx: float, sy: float) -> "Intrinsics":
+        """Intrinsics for a resized image (e.g. the 640x360 workspace grid)."""
+        return Intrinsics(
+            fx=self.fx * sx,
+            fy=self.fy * sy,
+            cx=self.cx * sx,
+            cy=self.cy * sy,
+            width=int(round(self.width * sx)),
+            height=int(round(self.height * sy)),
+        )
+
+
+@dataclass(frozen=True)
+class Extrinsics:
+    """Rigid transform camera->robot base frame.
+
+    The reference hand-composes T_robot_cam = T_robot_chess @ T_chess_cam
+    (`2cam/2cams.py:100-124`) and then uses R, t as torch tensors.  We store
+    the 3x3 rotation and translation directly (row-major tuples so the config
+    stays hashable / serializable).
+    """
+
+    rotation: Tuple[Tuple[float, float, float], ...] = (
+        (1.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0),
+        (0.0, 0.0, 1.0),
+    )
+    translation: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def R(self) -> np.ndarray:
+        return np.asarray(self.rotation, dtype=np.float32)
+
+    @property
+    def t(self) -> np.ndarray:
+        return np.asarray(self.translation, dtype=np.float32)
+
+    @staticmethod
+    def from_matrix(T: np.ndarray) -> "Extrinsics":
+        T = np.asarray(T, dtype=np.float64)
+        return Extrinsics(
+            rotation=tuple(tuple(float(v) for v in row) for row in T[:3, :3]),
+            translation=tuple(float(v) for v in T[:3, 3]),
+        )
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """One camera of the rig (reference: serials at `2cams_mask_gpu.py:66-67`)."""
+
+    name: str
+    intrinsics: Intrinsics
+    extrinsics: Extrinsics = field(default_factory=Extrinsics)
+    serial: Optional[int] = None
+    fps: int = 30
+    depth_min_m: float = 0.4  # DEPTH_MODE min distance, `2cams_mask_gpu.py:75`
+
+
+# Reference rig: two ZED cams, HD720.  Intrinsics below are representative ZED
+# HD720 factory values; real deployments load them from recorded sequences.
+_DEFAULT_INTR = Intrinsics(fx=527.2, fy=527.2, cx=636.7, cy=361.3)
+
+
+def _default_cameras() -> Tuple[CameraConfig, ...]:
+    # Extrinsics reproduce the shape of the reference's chessboard-composed
+    # transforms (`2cams.py:100-124`): cameras looking down at a tabletop from
+    # two sides.  Values are placeholders overridden by sequence metadata.
+    c, s = float(np.cos(np.pi / 4)), float(np.sin(np.pi / 4))
+    ext1 = Extrinsics(
+        rotation=((1.0, 0.0, 0.0), (0.0, -s, c), (0.0, -c, -s)),
+        translation=(0.25, -0.3, 0.8),
+    )
+    ext2 = Extrinsics(
+        rotation=((-1.0, 0.0, 0.0), (0.0, s, c), (0.0, c, -s)),
+        translation=(0.25, 1.5, 0.8),
+    )
+    return (
+        CameraConfig(name="cam1", intrinsics=_DEFAULT_INTR, extrinsics=ext1,
+                     serial=33137761),
+        CameraConfig(name="cam2", intrinsics=_DEFAULT_INTR, extrinsics=ext2,
+                     serial=36829049),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tracker
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """ByteTrack parameters (reference: `trackers/bytetrack.yaml:11-15`)."""
+
+    tracker_type: str = "bytetrack"
+    track_high_thresh: float = 0.6
+    track_low_thresh: float = 0.05
+    new_track_thresh: float = 0.5
+    track_buffer: int = 1500
+    match_thresh: float = 0.7
+    fuse_score: bool = True
+    max_tracks: int = 64  # fixed track-slot capacity (TPU static shape)
+    # BoT-SORT appearance extension (reference `trackers/botsort.yaml:14-19`)
+    with_reid: bool = False
+    proximity_thresh: float = 0.5
+    appearance_thresh: float = 0.25
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """YOLO11-seg model selection + static inference shapes.
+
+    Reference: `yolo11x-seg.pt` at `2cams_mask_gpu.py:51`, `yolo11l-seg.pt`
+    at `1cam/rt-tracking.py:78`, `imgsz=640` (`2cams_mask_gpu.py:284`).
+    Input 1280x720 letterboxes to 640x384 (stride-32 rectangular letterbox,
+    matching ultralytics `auto=True` behavior).
+    """
+
+    variant: str = "x"  # n / s / m / l / x
+    num_classes: int = 80
+    num_mask_coeffs: int = 32
+    input_hw: Tuple[int, int] = (384, 640)
+    conf_thresh: float = 0.1        # `2cams_mask_gpu.py:274`
+    iou_thresh: float = 0.7         # ultralytics NMS default
+    max_detections: int = 20        # precedent: max_det=20, `1cam/rt-tracking.py:212`
+    nms_pre_topk: int = 128         # candidates entering NMS (static)
+    class_filter: Tuple[int, ...] = (39, 41)  # Bottle + Cup, `2cams_mask_gpu.py:274`
+    weights: Optional[str] = None   # path to converted params (.npz) or .pt
+    compute_dtype: str = "bfloat16"
+
+
+# ---------------------------------------------------------------------------
+# Pipeline geometry / capacities
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Per-frame geometry parameters + padded buffer capacities.
+
+    Reference values: voxel 0.005 (`2cams_mask_gpu.py:251`), workspace bounds
+    (`vision_pipeline_utils.py:241-243`), fusion threshold 0.3
+    (`2cams_mask_gpu.py:379`), subtraction threshold 0.06 (`:397`), SOR
+    nb_neighbors=20 / std_ratio=1.5 (`vision_pipeline_utils.py:48`).
+    """
+
+    voxel_size: float = 0.005
+    workspace_x_bounds: Tuple[float, float] = (-0.25, 0.75)
+    workspace_y_bounds: Tuple[float, float] = (-0.5, 1.75)
+    workspace_z_bounds: Tuple[float, float] = (-0.05, 2.0)
+    fusion_distance_threshold: float = 0.3
+    subtraction_threshold: float = 0.06
+    sor_nb_neighbors: int = 20
+    sor_std_ratio: float = 1.5
+    # Workspace cloud is retrieved at reduced resolution in the reference
+    # (640x360 XYZ measure, `2cams.py:143-150`); we stride the full-res depth.
+    workspace_stride: int = 2
+    # --- static capacities (padded buffer sizes; compile-time constants) ---
+    max_points_per_object: int = 1024     # voxels per object after downsample
+    max_points_fused_object: int = 2048   # after 2-camera vstack
+    max_points_workspace: int = 32768     # per-camera workspace voxels
+    max_points_workspace_fused: int = 65536
+    max_objects_fused: int = 40           # 2 x max_detections slots
+
+
+@dataclass(frozen=True)
+class RigConfig:
+    cameras: Tuple[CameraConfig, ...] = field(default_factory=_default_cameras)
+
+    @property
+    def num_cameras(self) -> int:
+        return len(self.cameras)
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level config for one pipeline run."""
+
+    rig: RigConfig = field(default_factory=RigConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+
+    # ------------------------------------------------------------------
+    # Serialization (JSON round-trip; YAML via pyyaml if available)
+    # ------------------------------------------------------------------
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Config":
+        def _tupled(x):
+            if isinstance(x, list):
+                return tuple(_tupled(v) for v in x)
+            return x
+
+        rig = RigConfig(cameras=tuple(
+            CameraConfig(
+                name=c["name"],
+                intrinsics=Intrinsics(**c["intrinsics"]),
+                extrinsics=Extrinsics(
+                    rotation=_tupled(c["extrinsics"]["rotation"]),
+                    translation=_tupled(c["extrinsics"]["translation"]),
+                ),
+                serial=c.get("serial"),
+                fps=c.get("fps", 30),
+                depth_min_m=c.get("depth_min_m", 0.4),
+            )
+            for c in d.get("rig", {}).get("cameras", [])
+        ) or _default_cameras())
+        model = ModelConfig(**{**d.get("model", {}),
+                               "input_hw": tuple(d.get("model", {}).get("input_hw", (384, 640))),
+                               "class_filter": tuple(d.get("model", {}).get("class_filter", (39, 41)))})
+        tracker = TrackerConfig(**d.get("tracker", {}))
+        p = dict(d.get("pipeline", {}))
+        for k in ("workspace_x_bounds", "workspace_y_bounds", "workspace_z_bounds"):
+            if k in p:
+                p[k] = tuple(p[k])
+        pipeline = PipelineConfig(**p)
+        return Config(rig=rig, model=model, tracker=tracker, pipeline=pipeline)
+
+    @staticmethod
+    def from_json(path: str) -> "Config":
+        with open(path) as f:
+            return Config.from_dict(json.load(f))
+
+
+def reference_2cam_config() -> Config:
+    """The configuration behind the reference's published benchmark numbers
+    (`2cams_mask_gpu.py`: voxel 5 mm, conf 0.1, classes Bottle+Cup,
+    fusion 0.3, subtraction 0.06)."""
+    return Config()
+
+
+def reference_1cam_config() -> Config:
+    """`1cam/rt-tracking.py` analog: single camera @60fps, yolo11l-seg,
+    conf 0.3, 7-class filter (`1cam/rt-tracking.py:209-221`)."""
+    base = Config()
+    cam = base.rig.cameras[0]
+    return dataclasses.replace(
+        base,
+        rig=RigConfig(cameras=(dataclasses.replace(cam, fps=60, depth_min_m=0.3),)),
+        model=dataclasses.replace(
+            base.model, variant="l", conf_thresh=0.3,
+            class_filter=(39, 41, 42, 43, 44, 45, 46)),
+    )

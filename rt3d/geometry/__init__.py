@@ -1,0 +1,21 @@
+"""Fixed-shape, jit-friendly point-cloud geometry ops.
+
+Everything here operates on padded buffers: a point cloud is a pair
+``(points: (N, 3) f32, valid: (N,) bool)`` with a compile-time capacity N.
+This replaces the reference's data-dependent shapes (`torch.nonzero`,
+boolean indexing, `torch.unique`) which do not map onto XLA/TPU.
+"""
+
+from rt3d.geometry.ops import (  # noqa: F401
+    PointBuffer,
+    aabb_mask,
+    backproject_depth_grid,
+    compact_points,
+    masked_centroid,
+    rigid_transform,
+    voxel_downsample,
+    voxel_downsample_masks,
+)
+from rt3d.geometry.sor import sor_inlier_mask, sor_filter  # noqa: F401
+from rt3d.geometry.subtract import subtract_min_dist  # noqa: F401
+from rt3d.geometry.fusion import fuse_centroid  # noqa: F401

@@ -1,0 +1,193 @@
+"""Functional parameter store + conv primitives for the YOLO11 port.
+
+Why not a Module framework: the converter must map ultralytics checkpoint
+keys (e.g. ``model.10.m.0.attn.qkv.conv.weight``) onto our parameters 1:1.
+A flat ``{path: array}`` pytree whose paths mirror the ultralytics module
+tree makes the conversion a pure string transform (see ``convert.py``) and
+keeps the forward pass a plain jit-able function of ``(params, x)``.
+
+All convs here are the **fused inference form**: BatchNorm is folded into
+the convolution weights/bias at load time (this is an inference engine; the
+reference also only ever runs YOLO in eval mode, `2cams_mask_gpu.py:51`).
+Compute flows in bfloat16 with float32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, jax.Array]
+
+
+class ParamCtx:
+    """Walks the model graph either reading params (apply mode) or recording
+    their shapes (shape mode, run under `jax.eval_shape` so no FLOPs are
+    spent). Paths use '/' and mirror ultralytics module names."""
+
+    def __init__(self, params: Optional[Params] = None):
+        self.params = params
+        self.shapes: Dict[str, tuple] = {}   # path -> (shape, fan_in)
+        self._path = []
+
+    @contextmanager
+    def scope(self, name: str):
+        self._path.append(str(name))
+        try:
+            yield self
+        finally:
+            self._path.pop()
+
+    def param(self, name: str, shape, fan_in: Optional[int] = None) -> jax.Array:
+        path = "/".join(self._path + [name])
+        if self.params is not None:
+            p = self.params[path]
+            assert tuple(p.shape) == tuple(shape), f"{path}: {p.shape} != {shape}"
+            return p
+        self.shapes[path] = (tuple(shape), fan_in)
+        return jnp.zeros(shape, jnp.float32)
+
+
+def materialize_params(shapes: Dict[str, tuple], rng: jax.Array) -> Params:
+    """Random init (uniform fan-in bound, zeros for biases) for a shape dict
+    collected by a ParamCtx shape-mode trace."""
+    out: Params = {}
+    for path, (shape, fan_in) in sorted(shapes.items()):
+        if path.endswith("bias"):
+            out[path] = jnp.zeros(shape, jnp.float32)
+        else:
+            key = jax.random.fold_in(rng, abs(hash(path)) % (2**31 - 1))
+            fi = fan_in if fan_in is not None else np_prod(shape[:-1])
+            bound = 1.0 / math.sqrt(max(fi, 1))
+            out[path] = jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+    return out
+
+
+def np_prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Primitives (NHWC, HWIO kernels)
+# ---------------------------------------------------------------------------
+
+_COMPUTE_DTYPE = jnp.bfloat16
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def conv2d(
+    ctx: ParamCtx,
+    name: str,
+    x: jax.Array,
+    cout: int,
+    k: int = 1,
+    s: int = 1,
+    groups: int = 1,
+    act: bool = True,
+    raw: bool = False,
+) -> jax.Array:
+    """Fused Conv(+BN)+SiLU. ``raw=True`` models a bare nn.Conv2d head layer
+    (bias, no activation) — same param layout, different ultralytics naming
+    handled by the caller's scope."""
+    cin = x.shape[-1]
+    with ctx.scope(name):
+        kernel = ctx.param("kernel", (k, k, cin // groups, cout), fan_in=k * k * cin // groups)
+        bias = ctx.param("bias", (cout,))
+    pad = k // 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(_COMPUTE_DTYPE),
+        kernel.astype(_COMPUTE_DTYPE),
+        window_strides=(s, s),
+        padding=[(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # no-op for bf16 operands;
+        # keeps f32 runs (tests, debugging) actually f32 on every backend
+    )
+    y = y + bias.astype(jnp.float32)
+    if act and not raw:
+        y = silu(y)
+    return y.astype(_COMPUTE_DTYPE)
+
+
+def conv_module(ctx: ParamCtx, name: str, x: jax.Array, cout: int, k: int = 1,
+                s: int = 1, groups: int = 1, act: bool = True) -> jax.Array:
+    """Ultralytics `Conv` block: conv + (folded) bn + SiLU. Param path is
+    `<name>/conv/{kernel,bias}` to mirror `<name>.conv.weight` / folded bn."""
+    with ctx.scope(name):
+        return conv2d(ctx, "conv", x, cout, k=k, s=s, groups=groups, act=act)
+
+
+def dwconv_module(ctx: ParamCtx, name: str, x: jax.Array, cout: int, k: int = 3,
+                  s: int = 1, act: bool = True) -> jax.Array:
+    """Ultralytics `DWConv`: depthwise (groups = gcd(cin, cout))."""
+    g = math.gcd(x.shape[-1], cout)
+    return conv_module(ctx, name, x, cout, k=k, s=s, groups=g, act=act)
+
+
+def head_conv2d(ctx: ParamCtx, name: str, x: jax.Array, cout: int, k: int = 1) -> jax.Array:
+    """Bare nn.Conv2d with bias, no act (detect-head output layers)."""
+    return conv2d(ctx, name, x, cout, k=k, act=False)
+
+
+def maxpool(x: jax.Array, k: int, s: int = 1) -> jax.Array:
+    pad = k // 2
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.finfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, k, k, 1),
+        window_strides=(1, s, s, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+
+
+def upsample2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbour 2x (ultralytics nn.Upsample(scale_factor=2))."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def conv_transpose2x(ctx: ParamCtx, name: str, x: jax.Array, cout: int) -> jax.Array:
+    """ConvTranspose2d(k=2, s=2) as used by Proto.upsample — non-overlapping,
+    so it is an einsum + pixel-shuffle reshape (exact, MXU-friendly)."""
+    cin = x.shape[-1]
+    with ctx.scope(name):
+        kernel = ctx.param("kernel", (2, 2, cin, cout), fan_in=cin)  # (kh, kw, I, O)
+        bias = ctx.param("bias", (cout,))
+    b, h, w, _ = x.shape
+    y = jnp.einsum(
+        "bhwi,pqio->bhpwqo",
+        x.astype(_COMPUTE_DTYPE),
+        kernel.astype(_COMPUTE_DTYPE),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = y.reshape(b, h * 2, w * 2, cout) + bias.astype(jnp.float32)
+    return y.astype(_COMPUTE_DTYPE)
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    """Ultralytics channel rounding."""
+    return int(math.ceil(x / divisor) * divisor)

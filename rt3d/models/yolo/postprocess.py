@@ -1,0 +1,218 @@
+"""Static-shape YOLO post-processing: letterbox, DFL decode, NMS, masks.
+
+Replaces the ultralytics predictor stack the reference calls through
+`model.track(...)` (`2cam/vision_pipeline_utils.py:256-290`): letterbox
+preprocessing, DFL box decoding, class-aware NMS, and `retina_masks=True`
+prototype-mask assembly at full camera resolution — all with compile-time
+shapes (fixed candidate count, fixed max detections) so the whole path lives
+inside one jitted TPU program.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rt3d.models.yolo.model import REG_MAX, STRIDES, YoloSeg
+
+
+@struct.dataclass
+class Detections:
+    """Fixed-capacity detection set (slots are score-sorted; `valid` marks
+    live slots). Boxes are xyxy in ORIGINAL camera-image pixels."""
+
+    boxes: jax.Array    # (D, 4) f32
+    scores: jax.Array   # (D,) f32
+    classes: jax.Array  # (D,) int32
+    coeffs: jax.Array   # (D, nm) f32 mask coefficients
+    valid: jax.Array    # (D,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.boxes.shape[0]
+
+
+@dataclass(frozen=True)
+class LetterboxMeta:
+    """Static letterbox geometry for one (src_hw -> dst_hw) pair.
+
+    Mirrors ultralytics LetterBox(auto=True): uniform scale = min ratio,
+    symmetric padding to the stride-32 rectangle."""
+
+    src_hw: Tuple[int, int]
+    dst_hw: Tuple[int, int]
+    ratio: float
+    pad_top: int
+    pad_left: int
+    new_hw: Tuple[int, int]
+
+
+def letterbox_params(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> LetterboxMeta:
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    r = min(dh / sh, dw / sw)
+    nh, nw = round(sh * r), round(sw * r)
+    pad_h, pad_w = dh - nh, dw - nw
+    return LetterboxMeta(
+        src_hw=src_hw, dst_hw=dst_hw, ratio=r,
+        pad_top=pad_h // 2, pad_left=pad_w // 2, new_hw=(nh, nw),
+    )
+
+
+def preprocess_frame(frame_bgr: jax.Array, meta: LetterboxMeta) -> jax.Array:
+    """(H, W, 3) BGR uint8 -> (dst_h, dst_w, 3) f32 RGB in [0,1], letterboxed
+    with the ultralytics 114-gray fill."""
+    img = frame_bgr[..., ::-1].astype(jnp.float32) / 255.0
+    nh, nw = meta.new_hw
+    img = jax.image.resize(img, (nh, nw, 3), method="bilinear")
+    dh, dw = meta.dst_hw
+    pad_bottom = dh - nh - meta.pad_top
+    pad_right = dw - nw - meta.pad_left
+    return jnp.pad(
+        img,
+        ((meta.pad_top, pad_bottom), (meta.pad_left, pad_right), (0, 0)),
+        constant_values=114.0 / 255.0,
+    )
+
+
+def anchor_grid(input_hw: Tuple[int, int]):
+    """Anchor centre points (A, 2) in input pixels and strides (A,)."""
+    pts, strs = [], []
+    h, w = input_hw
+    for s in STRIDES:
+        gh, gw = h // s, w // s
+        ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5)
+        xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+        strs.append(jnp.full((gh * gw,), float(s), jnp.float32))
+    return jnp.concatenate(pts, axis=0), jnp.concatenate(strs, axis=0)
+
+
+def decode_predictions(model: YoloSeg, box_logits: jax.Array, cls_logits: jax.Array):
+    """DFL decode: (B, A, 4*16) logits -> xyxy boxes in letterboxed-input
+    pixels; class logits -> sigmoid scores. Pure math, no thresholding."""
+    b, a, _ = box_logits.shape
+    anchors, strides = anchor_grid(model.input_hw)
+    dist = jax.nn.softmax(box_logits.reshape(b, a, 4, REG_MAX), axis=-1)
+    bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+    ltrb = jnp.einsum("bafr,r->baf", dist, bins)  # (B, A, 4) in stride units
+    lt, rb = ltrb[..., :2], ltrb[..., 2:]
+    x1y1 = (anchors[None] - lt) * strides[None, :, None]
+    x2y2 = (anchors[None] + rb) * strides[None, :, None]
+    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+    scores = jax.nn.sigmoid(cls_logits)
+    return boxes, scores
+
+
+def box_iou_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU of xyxy boxes: (Na, 4) x (Nb, 4) -> (Na, Nb)."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def nms_fixed(
+    boxes: jax.Array,            # (A, 4)
+    scores: jax.Array,           # (A, nc)
+    coeffs: jax.Array,           # (A, nm)
+    conf_thresh: float,
+    iou_thresh: float,
+    max_det: int,
+    pre_topk: int = 128,
+    class_mask: jax.Array | None = None,  # (nc,) bool — allowed classes
+) -> Detections:
+    """Exact greedy class-aware NMS with static shapes.
+
+    Single-label per anchor (ultralytics default): each anchor contributes
+    its best allowed class. Top `pre_topk` candidates by confidence enter the
+    O(pre_topk^2) greedy suppression; the `max_det` survivors come out.
+    """
+    if class_mask is not None:
+        scores = jnp.where(class_mask[None, :], scores, 0.0)
+    pre_topk = min(pre_topk, boxes.shape[0])
+    best_cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    best_conf = jnp.max(scores, axis=-1)
+    ok = best_conf >= conf_thresh
+    cand_score = jnp.where(ok, best_conf, 0.0)
+
+    top_scores, top_idx = jax.lax.top_k(cand_score, pre_topk)  # sorted desc
+    top_boxes = boxes[top_idx]
+    top_cls = best_cls[top_idx]
+    top_valid = top_scores > 0.0
+
+    iou = box_iou_matrix(top_boxes, top_boxes)
+    same_cls = top_cls[:, None] == top_cls[None, :]
+    conflict = (iou > iou_thresh) & same_cls  # (K, K)
+
+    def body(i, keep):
+        sup = jnp.any(keep & conflict[:, i] & (jnp.arange(pre_topk) < i))
+        return keep.at[i].set(top_valid[i] & ~sup)
+
+    keep = jax.lax.fori_loop(0, pre_topk, body, jnp.zeros((pre_topk,), bool))
+
+    final_scores = jnp.where(keep, top_scores, 0.0)
+    k = min(max_det, pre_topk)
+    sel_scores, sel = jax.lax.top_k(final_scores, k)
+    pad = max_det - k
+    return Detections(
+        boxes=jnp.pad(top_boxes[sel], ((0, pad), (0, 0))),
+        scores=jnp.pad(sel_scores, (0, pad)),
+        classes=jnp.pad(top_cls[sel], (0, pad)),
+        coeffs=jnp.pad(coeffs[top_idx][sel], ((0, pad), (0, 0))),
+        valid=jnp.pad(sel_scores > 0.0, (0, pad)),
+    )
+
+
+def boxes_to_original(boxes: jax.Array, meta: LetterboxMeta) -> jax.Array:
+    """Letterboxed-input xyxy -> original-image xyxy, clipped."""
+    sh, sw = meta.src_hw
+    shift = jnp.array(
+        [meta.pad_left, meta.pad_top, meta.pad_left, meta.pad_top], jnp.float32
+    )
+    out = (boxes - shift) / meta.ratio
+    lim = jnp.array([sw, sh, sw, sh], jnp.float32)
+    return jnp.clip(out, 0.0, lim)
+
+
+def assemble_masks_retina(
+    protos: jax.Array,       # (Hp, Wp, nm) — stride-4 prototype maps
+    coeffs: jax.Array,       # (D, nm)
+    boxes_orig: jax.Array,   # (D, 4) xyxy in original-image pixels
+    meta: LetterboxMeta,
+) -> jax.Array:
+    """Full-resolution instance masks, the `retina_masks=True` path
+    (ultralytics `process_mask_native`): sigmoid(coeff . proto), crop the
+    letterbox padding, bilinear-upsample to the original image, crop to the
+    box, threshold 0.5. Returns (D, H, W) bool."""
+    hp, wp, nm = protos.shape
+    d = coeffs.shape[0]
+    logits = jnp.einsum(
+        "dn,hwn->dhw", coeffs, protos, preferred_element_type=jnp.float32
+    )
+    m = jax.nn.sigmoid(logits)
+    # strip letterbox padding at proto scale (static slicing)
+    proto_stride = meta.dst_hw[0] // hp
+    top = meta.pad_top // proto_stride
+    left = meta.pad_left // proto_stride
+    nh = meta.new_hw[0] // proto_stride
+    nw = meta.new_hw[1] // proto_stride
+    m = m[:, top:top + nh, left:left + nw]
+    sh, sw = meta.src_hw
+    m = jax.image.resize(m, (d, sh, sw), method="bilinear")
+    # crop to boxes
+    ys = jax.lax.broadcasted_iota(jnp.float32, (sh, sw), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (sh, sw), 1)
+    x1, y1, x2, y2 = (boxes_orig[:, i][:, None, None] for i in range(4))
+    inbox = (xs[None] >= x1) & (xs[None] < x2) & (ys[None] >= y1) & (ys[None] < y2)
+    return (m > 0.5) & inbox

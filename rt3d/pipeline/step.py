@@ -1,0 +1,307 @@
+"""The fused per-frame pipeline step.
+
+Maps the reference's per-iteration stages (`2cam/2cams.py:165-200`) onto a
+single jitted program:
+
+  S1/S2 (frame/depth retrieval)  -> host: FrameSource + one device upload
+  S3 workspace clouds            -> strided dense backprojection + crop +
+                                    voxel dedupe        (was `process_point_clouds`)
+  S4 YOLO + tracking             -> batched YOLO11-seg forward + static NMS
+                                    + vectorized ByteTrack (was `model.track` x2)
+  S5 mask processing             -> dense masked backprojection + shared-sort
+                                    voxel dedupe        (was `process_masks`)
+  S6 fusion                      -> greedy centroid fusion (was `fuse_point_clouds`)
+  S7 subtraction                 -> tiled min-distance   (was `subtract_point_clouds`)
+
+Design rule: ONE upload (rgb+depth) and ONE download (compact padded
+buffers) per frame-pair; everything between stays on device.
+
+Per-camera tracking note: ultralytics keyed both of the reference's
+sequential `model.track` calls to the same tracker instance (predictor
+tracker index 0), silently sharing IDs across cameras. We keep one tracker
+state per camera — the sane semantics — and document the divergence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rt3d.config import Config
+from rt3d.geometry.fusion import ObjectSet, flatten_objects, fuse_centroid
+from rt3d.geometry.ops import (
+    PointBuffer,
+    aabb_mask,
+    backproject_depth_grid,
+    rigid_transform,
+    voxel_downsample,
+    voxel_downsample_masks,
+)
+from rt3d.geometry.subtract import subtract_min_dist
+from rt3d.models.yolo.model import YoloSeg
+from rt3d.models.yolo.postprocess import (
+    Detections,
+    assemble_masks_retina,
+    boxes_to_original,
+    decode_predictions,
+    letterbox_params,
+    nms_fixed,
+    preprocess_frame,
+)
+from rt3d.tracking.bytetrack import TrackerState, bytetrack_init, bytetrack_step
+
+
+@struct.dataclass
+class CameraCalib:
+    """Device-side calibration, batched over the camera axis."""
+
+    fx: jax.Array  # (C,)
+    fy: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    rotation: jax.Array     # (C, 3, 3) camera -> robot
+    translation: jax.Array  # (C, 3)
+
+    @staticmethod
+    def from_config(cfg: Config) -> "CameraCalib":
+        import numpy as np
+
+        cams = cfg.rig.cameras
+        return CameraCalib(
+            fx=jnp.asarray([c.intrinsics.fx for c in cams], jnp.float32),
+            fy=jnp.asarray([c.intrinsics.fy for c in cams], jnp.float32),
+            cx=jnp.asarray([c.intrinsics.cx for c in cams], jnp.float32),
+            cy=jnp.asarray([c.intrinsics.cy for c in cams], jnp.float32),
+            rotation=jnp.asarray(
+                np.stack([c.extrinsics.R for c in cams]), jnp.float32
+            ),
+            translation=jnp.asarray(
+                np.stack([c.extrinsics.t for c in cams]), jnp.float32
+            ),
+        )
+
+
+@struct.dataclass
+class PipelineState:
+    """All cross-frame state, one pytree (checkpointable; the reference's
+    only persistent state was the hidden ultralytics tracker)."""
+
+    tracker: TrackerState  # leading camera axis on every leaf
+
+
+@struct.dataclass
+class FrameOutputs:
+    detections: Detections        # leading camera axis
+    track_ids: jax.Array          # (C, D) int32
+    objects: ObjectSet            # fused, robot frame
+    objects_flat: PointBuffer     # all fused object points, compacted
+    workspace: PointBuffer        # subtracted workspace cloud
+    per_camera_objects: ObjectSet  # leading camera axis (pre-fusion)
+    overflow: jax.Array           # scalar total dropped-point count
+
+
+@dataclass(frozen=True)
+class Pipeline:
+    """Static pipeline bundle: config + model + jit-ready step callables."""
+
+    cfg: Config
+    model: YoloSeg
+
+    # ------------------------------------------------------------------
+    def init_state(self) -> PipelineState:
+        c = self.cfg.rig.num_cameras
+        trackers = jax.vmap(lambda _: bytetrack_init(self.cfg.tracker.max_tracks))(
+            jnp.arange(c)
+        )
+        return PipelineState(tracker=trackers)
+
+    # ------------------------------------------------------------------
+    # stage pieces (also used standalone by the profiling driver)
+    # ------------------------------------------------------------------
+
+    def _meta(self):
+        cam = self.cfg.rig.cameras[0]
+        src_hw = (cam.intrinsics.height, cam.intrinsics.width)
+        return letterbox_params(src_hw, self.model.input_hw)
+
+    def preprocess(self, rgb: jax.Array) -> jax.Array:
+        """(C, H, W, 3) u8 -> (C, h, w, 3) f32 letterboxed batch."""
+        meta = self._meta()
+        return jax.vmap(lambda f: preprocess_frame(f, meta))(rgb)
+
+    def detect(self, params, images: jax.Array) -> Tuple[Detections, jax.Array]:
+        """Batched forward + decode + NMS. Returns (detections with boxes in
+        ORIGINAL pixels (camera axis leading), protos (C, hp, wp, nm))."""
+        m, p = self.model, self.cfg.model
+        meta = self._meta()
+        box_l, cls_l, coeff_l, protos = m.forward(params, images)
+        boxes, scores = decode_predictions(m, box_l, cls_l)
+        class_mask = jnp.zeros((p.num_classes,), bool)
+        if p.class_filter:
+            class_mask = class_mask.at[jnp.asarray(p.class_filter)].set(True)
+        else:
+            class_mask = jnp.ones((p.num_classes,), bool)
+
+        def one(b, s, c):
+            det = nms_fixed(
+                b, s, c,
+                conf_thresh=p.conf_thresh, iou_thresh=p.iou_thresh,
+                max_det=p.max_detections, pre_topk=p.nms_pre_topk,
+                class_mask=class_mask,
+            )
+            return det.replace(boxes=boxes_to_original(det.boxes, meta))
+
+        return jax.vmap(one)(boxes, scores, coeff_l), protos
+
+    def track(
+        self, state: PipelineState, det: Detections
+    ) -> Tuple[PipelineState, jax.Array]:
+        tcfg = self.cfg.tracker
+        fps = self.cfg.rig.cameras[0].fps
+
+        def one(ts, d):
+            return bytetrack_step(ts, d, tcfg, frame_rate=fps)
+
+        new_tracker, ids = jax.vmap(one)(state.tracker, det)
+        return PipelineState(tracker=new_tracker), ids
+
+    def masks(self, protos: jax.Array, det: Detections) -> jax.Array:
+        """(C, D, H, W) bool full-resolution instance masks."""
+        meta = self._meta()
+
+        def one(pr, d):
+            return assemble_masks_retina(pr, d.coeffs, d.boxes, meta)
+
+        return jax.vmap(one)(protos, det)
+
+    def object_clouds(
+        self,
+        depth: jax.Array,          # (C, H, W) f32
+        masks: jax.Array,          # (C, D, H, W) bool
+        det: Detections,
+        track_ids: jax.Array,      # (C, D)
+        calib: CameraCalib,
+    ) -> Tuple[ObjectSet, jax.Array]:
+        """Reference S5: per-mask backproject -> transform -> voxel dedupe
+        (`vision_pipeline_utils.py:292-304`), all detections at once."""
+        p = self.cfg.pipeline
+
+        def one(depth_c, masks_c, det_c, ids_c, fx, fy, cx, cy, R, t):
+            xyz, valid = backproject_depth_grid(depth_c, fx, fy, cx, cy)
+            pts = rigid_transform(xyz.reshape(-1, 3), R, t)
+            buf, ovf = voxel_downsample_masks(
+                pts, valid.reshape(-1),
+                masks_c.reshape(masks_c.shape[0], -1),
+                p.voxel_size, p.max_points_per_object,
+            )
+            objs = ObjectSet(
+                points=buf.points,
+                valid=buf.valid & det_c.valid[:, None],
+                class_id=det_c.classes,
+                present=det_c.valid & (buf.count > 0),
+                track_id=ids_c,
+            )
+            return objs, jnp.sum(ovf)
+
+        return jax.vmap(one)(
+            depth, masks, det, track_ids,
+            calib.fx, calib.fy, calib.cx, calib.cy,
+            calib.rotation, calib.translation,
+        )
+
+    def workspace_clouds(
+        self, depth: jax.Array, calib: CameraCalib
+    ) -> Tuple[PointBuffer, jax.Array]:
+        """Reference S3 (`vision_pipeline_utils.py:229-254`): strided dense
+        cloud -> robot frame -> AABB crop -> voxel dedupe, per camera."""
+        p = self.cfg.pipeline
+        s = p.workspace_stride
+
+        def one(depth_c, fx, fy, cx, cy, R, t):
+            d = depth_c[::s, ::s]
+            xyz, valid = backproject_depth_grid(
+                d, fx / s, fy / s, cx / s, cy / s
+            )
+            pts = rigid_transform(xyz.reshape(-1, 3), R, t)
+            valid = valid.reshape(-1) & aabb_mask(
+                pts, p.workspace_x_bounds, p.workspace_y_bounds, p.workspace_z_bounds
+            )
+            return voxel_downsample(pts, valid, p.voxel_size, p.max_points_workspace)
+
+        return jax.vmap(one)(
+            depth, calib.fx, calib.fy, calib.cx, calib.cy,
+            calib.rotation, calib.translation,
+        )
+
+    def fuse(self, per_cam: ObjectSet) -> Tuple[ObjectSet, PointBuffer, jax.Array]:
+        """Reference S6 for two cameras. >2 cameras fold pairwise."""
+        p = self.cfg.pipeline
+        c = self.cfg.rig.num_cameras
+        sets = [jax.tree_util.tree_map(lambda x: x[i], per_cam) for i in range(c)]
+        fused = sets[0]
+        for other in sets[1:]:
+            fused = fuse_centroid(
+                fused, other, p.fusion_distance_threshold,
+                p.sor_nb_neighbors, p.sor_std_ratio,
+            )
+        flat, ovf = flatten_objects(
+            fused, capacity=p.max_points_fused_object * p.max_objects_fused // 4
+        )
+        return fused, flat, ovf
+
+    def subtract(
+        self, workspace: PointBuffer, objects_flat: PointBuffer
+    ) -> PointBuffer:
+        """Reference S7 (`vision_pipeline_utils.py:322-327`)."""
+        return subtract_min_dist(
+            workspace, objects_flat, self.cfg.pipeline.subtraction_threshold
+        )
+
+    # ------------------------------------------------------------------
+    # the fused step
+    # ------------------------------------------------------------------
+
+    def step(
+        self,
+        params,
+        state: PipelineState,
+        rgb: jax.Array,    # (C, H, W, 3) uint8 BGR
+        depth: jax.Array,  # (C, H, W) f32
+        calib: CameraCalib,
+    ) -> Tuple[PipelineState, FrameOutputs]:
+        images = self.preprocess(rgb)
+        det, protos = self.detect(params, images)
+        state, ids = self.track(state, det)
+        masks = self.masks(protos, det)
+        per_cam_objs, obj_ovf = self.object_clouds(depth, masks, det, ids, calib)
+        ws, ws_ovf = self.workspace_clouds(depth, calib)
+        fused, flat, flat_ovf = self.fuse(per_cam_objs)
+        ws_all = PointBuffer(
+            points=ws.points.reshape(-1, 3), valid=ws.valid.reshape(-1)
+        )
+        ws_out = self.subtract(ws_all, flat)
+        out = FrameOutputs(
+            detections=det,
+            track_ids=ids,
+            objects=fused,
+            objects_flat=flat,
+            workspace=ws_out,
+            per_camera_objects=per_cam_objs,
+            overflow=jnp.sum(obj_ovf) + jnp.sum(ws_ovf) + flat_ovf,
+        )
+        return state, out
+
+
+def build_pipeline(cfg: Optional[Config] = None) -> Pipeline:
+    cfg = cfg or Config()
+    model = YoloSeg(
+        variant=cfg.model.variant,
+        num_classes=cfg.model.num_classes,
+        num_mask_coeffs=cfg.model.num_mask_coeffs,
+        input_hw=cfg.model.input_hw,
+    )
+    return Pipeline(cfg=cfg, model=model)

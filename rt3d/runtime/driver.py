@@ -1,0 +1,154 @@
+"""The host-side step driver: feed frames, run the jitted step, log.
+
+Replaces the reference's `while key != ord('q')` loops
+(`2cam/2cams_mask_gpu.py:176-455`). Two execution modes:
+
+* `fused` (benchmark): one jitted program per frame-pair; the host measures
+  end-to-end latency only (per-stage rows come from the profiler or the
+  `profile` mode).
+* `profile`: stage-split jitted pieces with `block_until_ready` between, so
+  every reference `timings.csv` stage gets an apples-to-apples number. This
+  is slower than `fused` by construction (it forbids cross-stage overlap).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rt3d.config import Config
+from rt3d.pipeline.step import CameraCalib, FrameOutputs, Pipeline, PipelineState
+from rt3d.runtime.timing import TimingLog
+
+
+@dataclass
+class DriverResult:
+    frames: int
+    mean_fps: float
+    median_fps: float
+    max_fps: float
+    summary_ms: Dict[str, float]
+    last_outputs: Optional[FrameOutputs] = None
+
+
+class PipelineDriver:
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        params,
+        mode: str = "fused",
+        fps_log_path: Optional[str] = None,
+        timings_path: Optional[str] = None,
+        donate_state: bool = True,
+    ):
+        self.pipeline = pipeline
+        self.params = params
+        self.mode = mode
+        self.calib = CameraCalib.from_config(pipeline.cfg)
+        self.state = pipeline.init_state()
+        self.log = TimingLog(fps_log_path, timings_path)
+        p = pipeline
+
+        if mode == "fused":
+            self._step = jax.jit(
+                p.step, donate_argnums=(1,) if donate_state else ()
+            )
+        elif mode == "profile":
+            self._preprocess = jax.jit(p.preprocess)
+            self._detect = jax.jit(p.detect)
+            self._track = jax.jit(p.track, donate_argnums=(0,) if donate_state else ())
+            self._masks = jax.jit(p.masks)
+            self._object_clouds = jax.jit(p.object_clouds)
+            self._workspace = jax.jit(p.workspace_clouds)
+            self._fuse = jax.jit(p.fuse)
+            self._subtract = jax.jit(p.subtract)
+        else:
+            raise ValueError(f"unknown driver mode {mode}")
+
+    # ------------------------------------------------------------------
+
+    def _run_fused(self, rgb, depth):
+        self.state, out = self._step(self.params, self.state, rgb, depth, self.calib)
+        return out
+
+    def _run_profiled(self, rgb, depth):
+        from rt3d.geometry.ops import PointBuffer
+
+        log = self.log
+        with log.span("YOLO11 Inference"):
+            images = self._preprocess(rgb)
+            det, protos = self._detect(self.params, images)
+            self.state, ids = self._track(self.state, det)
+            jax.block_until_ready(ids)
+        with log.span("Mask Processing"):
+            masks = self._masks(protos, det)
+            objs, _ = self._object_clouds(depth, masks, det, ids, self.calib)
+            jax.block_until_ready(objs.points)
+        with log.span("Point Cloud Processing"):
+            ws, _ = self._workspace(depth, self.calib)
+            jax.block_until_ready(ws.points)
+        with log.span("Point Cloud Fusion"):
+            fused, flat, _ = self._fuse(objs)
+            jax.block_until_ready(flat.points)
+        with log.span("Subtraction"):
+            ws_all = PointBuffer(
+                points=ws.points.reshape(-1, 3), valid=ws.valid.reshape(-1)
+            )
+            ws_out = self._subtract(ws_all, flat)
+            jax.block_until_ready(ws_out.valid)
+        return FrameOutputs(
+            detections=det, track_ids=ids, objects=fused, objects_flat=flat,
+            workspace=ws_out, per_camera_objects=objs,
+            overflow=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+
+    def run(
+        self,
+        source,
+        num_frames: int,
+        warmup: int = 1,
+        on_frame: Optional[Callable[[int, FrameOutputs], None]] = None,
+        fetch_outputs: bool = True,
+    ) -> DriverResult:
+        fps_hist = []
+        out = None
+        for i in range(num_frames):
+            t0 = time.perf_counter()
+            with self.log.span("Frame Retrieval"):
+                pkt = source.get(i)
+                rgb = jnp.asarray(pkt.rgb)
+            with self.log.span("Depth Retrieval"):
+                depth = jnp.asarray(pkt.depth)
+
+            if self.mode == "fused":
+                out = self._run_fused(rgb, depth)
+                if fetch_outputs:
+                    jax.block_until_ready(
+                        (out.workspace.valid, out.objects_flat.points)
+                    )
+            else:
+                out = self._run_profiled(rgb, depth)
+
+            total = time.perf_counter() - t0
+            self.log.end_iteration(total)
+            if i >= warmup:
+                fps_hist.append(1.0 / max(total, 1e-9))
+            if on_frame is not None:
+                on_frame(i, out)
+        self.log.write_timings()
+        fps_arr = np.asarray(fps_hist) if fps_hist else np.asarray([0.0])
+        return DriverResult(
+            frames=num_frames,
+            mean_fps=float(fps_arr.mean()),
+            median_fps=float(np.median(fps_arr)),
+            max_fps=float(fps_arr.max()),
+            summary_ms=self.log.summary_ms(),
+            last_outputs=out,
+        )

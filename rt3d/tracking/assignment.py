@@ -1,0 +1,122 @@
+"""Exact linear assignment in JAX (replaces the `lapx` C++ solver the
+reference pulls in transitively through ultralytics, `requirements.txt:42`).
+
+`hungarian` implements the O(n^3) shortest-augmenting-path Kuhn–Munkres
+algorithm with row/column potentials as `lax` loops — fully jittable,
+validated against `scipy.optimize.linear_sum_assignment` in tests.
+
+`solve_matching` reproduces the tracking-specific
+`lap.lapjv(cost, extend_cost=True, cost_limit=thresh)` semantics used by
+ByteTrack: entries at/over the threshold are infeasible, the solver first
+maximizes the number of feasible matches and then minimizes their total
+cost, and unmatched rows/columns are reported as -1.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Large-but-finite infeasible cost. Kept small enough that f32 potential
+# arithmetic retains ~1e-4 absolute resolution on real costs in [0, ~2].
+BIG = jnp.float32(1e3)
+_INF = jnp.float32(1e18)
+
+
+def hungarian(cost: jax.Array) -> jax.Array:
+    """Min-cost perfect assignment of a square (n, n) matrix.
+
+    Returns `col_for_row: (n,) int32`. Every row is assigned (use finite
+    sentinel costs for "no match" columns; see `solve_matching`).
+    """
+    n = cost.shape[0]
+    assert cost.shape == (n, n)
+    a = jnp.pad(cost.astype(jnp.float32), ((1, 0), (1, 0)))  # 1-indexed
+
+    def solve_row(carry, i):
+        u, v, p = carry
+        minv = jnp.full(n + 1, _INF)
+        used = jnp.zeros(n + 1, bool)
+        way = jnp.zeros(n + 1, jnp.int32)
+        p = p.at[0].set(i)
+
+        def cond(s):
+            _, _, p_, _, _, _, j0 = s
+            return p_[j0] != 0
+
+        def body(s):
+            u_, v_, p_, minv_, used_, way_, j0 = s
+            used_ = used_.at[j0].set(True)
+            i0 = p_[j0]
+            cur = a[i0] - u_[i0] - v_
+            upd = (~used_) & (cur < minv_)
+            minv_ = jnp.where(upd, cur, minv_)
+            way_ = jnp.where(upd, j0, way_)
+            masked = jnp.where(used_, _INF, minv_).at[0].set(_INF)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            u_ = u_.at[p_].add(jnp.where(used_, delta, 0.0))
+            v_ = v_ - jnp.where(used_, delta, 0.0)
+            minv_ = jnp.where(used_, minv_, minv_ - delta)
+            return (u_, v_, p_, minv_, used_, way_, j1)
+
+        u, v, p, minv, used, way, j0 = jax.lax.while_loop(
+            cond, body, (u, v, p, minv, used, way, jnp.int32(0))
+        )
+
+        def aug_cond(s):
+            j0_, _ = s
+            return j0_ != 0
+
+        def aug_body(s):
+            j0_, p_ = s
+            j1 = way[j0_]
+            p_ = p_.at[j0_].set(p_[j1])
+            return (j1, p_)
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        return (u, v, p), None
+
+    init = (
+        jnp.zeros(n + 1, jnp.float32),
+        jnp.zeros(n + 1, jnp.float32),
+        jnp.zeros(n + 1, jnp.int32),
+    )
+    (_, _, p), _ = jax.lax.scan(
+        solve_row, init, jnp.arange(1, n + 1, dtype=jnp.int32)
+    )
+    row_for_col = p[1:] - 1  # 0-based
+    col_for_row = (
+        jnp.zeros(n, jnp.int32)
+        .at[row_for_col]
+        .set(jnp.arange(n, dtype=jnp.int32))
+    )
+    return col_for_row
+
+
+def solve_matching(
+    cost: jax.Array, thresh: float
+) -> Tuple[jax.Array, jax.Array]:
+    """Thresholded rectangular matching (ByteTrack's linear_assignment).
+
+    cost: (R, C); entries >= thresh are infeasible. Returns
+    (col_of_row (R,) int32 with -1 unmatched, row_of_col (C,) int32).
+    """
+    r, c = cost.shape
+    s = max(r, c, 1)
+    feas = cost < thresh
+    padded = jnp.full((s, s), BIG, jnp.float32)
+    padded = padded.at[:r, :c].set(jnp.where(feas, cost, BIG))
+    col_for_row = hungarian(padded)
+
+    rows = jnp.arange(r)
+    assigned = col_for_row[:r]
+    ok = (assigned < c) & feas[rows, jnp.clip(assigned, 0, c - 1)]
+    col_of_row = jnp.where(ok, assigned, -1).astype(jnp.int32)
+    row_of_col = jnp.full((c,), -1, jnp.int32)
+    row_of_col = row_of_col.at[jnp.where(ok, assigned, c)].set(
+        rows.astype(jnp.int32), mode="drop"
+    )
+    return col_of_row, row_of_col

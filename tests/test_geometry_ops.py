@@ -1,0 +1,175 @@
+"""Op-level tests of rt3d.geometry against the NumPy oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rt3d.geometry import (
+    PointBuffer,
+    aabb_mask,
+    backproject_depth_grid,
+    compact_points,
+    masked_centroid,
+    rigid_transform,
+    sor_inlier_mask,
+    subtract_min_dist,
+    voxel_downsample,
+    voxel_downsample_masks,
+)
+from tests import oracles
+
+
+def _buf_to_np(buf: PointBuffer) -> np.ndarray:
+    pts = np.asarray(buf.points)
+    val = np.asarray(buf.valid)
+    return pts[val]
+
+
+def test_backproject_matches_gather_oracle(rng):
+    h, w = 48, 64
+    depth = rng.uniform(0.2, 3.0, (h, w)).astype(np.float32)
+    depth[5, 7] = 0.0
+    depth[10, 11] = np.nan
+    depth[20, 21] = np.inf
+    fx, fy, cx, cy = 500.0, 510.0, 32.0, 24.0
+
+    xyz, valid = backproject_depth_grid(jnp.asarray(depth), fx, fy, cx, cy)
+    xyz, valid = np.asarray(xyz), np.asarray(valid)
+
+    mask_idx = np.argwhere(np.ones((h, w), bool))
+    expect = oracles.backproject_oracle(mask_idx, depth, cx, cy, fx, fy)
+    got = xyz.reshape(-1, 3)[valid.reshape(-1)]
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+    assert not valid[5, 7] and not valid[10, 11] and not valid[20, 21]
+
+
+def test_rigid_transform(rng):
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    theta = 0.7
+    R = np.array(
+        [[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]],
+        dtype=np.float32,
+    )
+    t = np.array([0.1, -0.2, 0.3], np.float32)
+    got = np.asarray(rigid_transform(jnp.asarray(pts), jnp.asarray(R), jnp.asarray(t)))
+    expect = (R @ pts.T).T + t
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_aabb_mask(rng):
+    pts = rng.uniform(-1, 2, (500, 3)).astype(np.float32)
+    xb, yb, zb = (-0.25, 0.75), (-0.5, 1.75), (-0.05, 2.0)
+    m = np.asarray(aabb_mask(jnp.asarray(pts), xb, yb, zb))
+    expect = oracles.crop_oracle(pts, xb, yb, zb)
+    np.testing.assert_allclose(np.sort(pts[m], axis=0), np.sort(expect, axis=0))
+
+
+def test_compact_points_contiguous(rng):
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    emit = rng.uniform(size=64) < 0.4
+    buf, overflow = compact_points(jnp.asarray(pts), jnp.asarray(emit), 32)
+    got = _buf_to_np(buf)
+    np.testing.assert_allclose(got, pts[emit])
+    assert int(overflow) == 0
+    v = np.asarray(buf.valid)
+    assert v[: got.shape[0]].all() and not v[got.shape[0]:].any()
+
+
+def test_compact_points_overflow(rng):
+    pts = rng.normal(size=(64, 3)).astype(np.float32)
+    emit = np.ones(64, bool)
+    buf, overflow = compact_points(jnp.asarray(pts), jnp.asarray(emit), 16)
+    np.testing.assert_allclose(_buf_to_np(buf), pts[:16])
+    assert int(overflow) == 48
+
+
+@pytest.mark.parametrize("voxel", [0.005, 0.01, 0.05])
+def test_voxel_downsample_matches_unique_oracle(rng, voxel):
+    pts = rng.uniform(-0.5, 0.5, (300, 3)).astype(np.float32)
+    pts = np.vstack([pts, pts[:50]])  # guarantee duplicates
+    valid = np.ones(len(pts), bool)
+    valid[-10:] = False
+    buf, overflow = voxel_downsample(jnp.asarray(pts), jnp.asarray(valid), voxel, 512)
+    got = _buf_to_np(buf)
+    expect = oracles.voxel_downsample_oracle(pts[valid], voxel)
+    assert int(overflow) == 0
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-7)  # incl. lex order
+
+
+def test_voxel_downsample_masks_shared_sort(rng):
+    n, d = 400, 4
+    pts = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    pts[50:100] = pts[:50]  # duplicates across the cloud
+    valid = rng.uniform(size=n) < 0.9
+    masks = rng.uniform(size=(d, n)) < 0.5
+    voxel = 0.02
+    buf, overflow = voxel_downsample_masks(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(masks), voxel, 256
+    )
+    for i in range(d):
+        got = np.asarray(buf.points[i])[np.asarray(buf.valid[i])]
+        expect = oracles.voxel_downsample_oracle(pts[masks[i] & valid], voxel)
+        np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-7)
+
+
+def test_masked_centroid(rng):
+    pts = rng.normal(size=(32, 3)).astype(np.float32)
+    valid = rng.uniform(size=32) < 0.7
+    got = np.asarray(masked_centroid(jnp.asarray(pts), jnp.asarray(valid)))
+    np.testing.assert_allclose(got, pts[valid].mean(axis=0), rtol=1e-5, atol=1e-6)
+
+
+def test_sor_matches_oracle(rng):
+    # dense cluster + a few blatant outliers
+    cluster = rng.normal(0, 0.02, (120, 3)).astype(np.float32)
+    outliers = rng.normal(0, 1.5, (6, 3)).astype(np.float32) + 3.0
+    pts = np.vstack([cluster, outliers])
+    perm = rng.permutation(len(pts))
+    pts = pts[perm]
+    pad = np.zeros((30, 3), np.float32)
+    padded = np.vstack([pts, pad])
+    valid = np.zeros(len(padded), bool)
+    valid[: len(pts)] = True
+
+    keep = np.asarray(
+        sor_inlier_mask(jnp.asarray(padded), jnp.asarray(valid), 20, 1.5)
+    )
+    expect = oracles.sor_oracle(pts, 20, 1.5)
+    np.testing.assert_array_equal(keep[: len(pts)], expect)
+    assert not keep[len(pts):].any()
+    # sanity: every far outlier rejected
+    far = np.linalg.norm(pts, axis=1) > 2.0
+    assert not keep[: len(pts)][far].any()
+
+
+def test_subtract_matches_oracle(rng):
+    ws = rng.uniform(-0.5, 0.5, (600, 3)).astype(np.float32)
+    obj = ws[100:160] + rng.normal(0, 0.002, (60, 3)).astype(np.float32)
+    thresh = 0.05
+
+    ws_buf = PointBuffer.from_dense(jnp.asarray(ws))
+    obj_pad = np.vstack([obj, np.zeros((68, 3), np.float32)])
+    obj_valid = np.zeros(len(obj_pad), bool)
+    obj_valid[: len(obj)] = True
+    obj_buf = PointBuffer(points=jnp.asarray(obj_pad), valid=jnp.asarray(obj_valid))
+
+    out = subtract_min_dist(ws_buf, obj_buf, thresh, tile=32)
+    got = np.asarray(out.points)[np.asarray(out.valid)]
+    expect = oracles.subtract_oracle(ws, obj, thresh)
+    np.testing.assert_allclose(np.sort(got, axis=0), np.sort(expect, axis=0), atol=1e-6)
+
+
+def test_subtract_empty_objects_keeps_everything(rng):
+    ws = PointBuffer.from_dense(jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32)))
+    empty = PointBuffer.empty(64)
+    out = subtract_min_dist(ws, empty, 0.05)
+    assert bool(np.asarray(out.valid).all())
+
+
+def test_voxel_ops_jit_and_no_recompile():
+    f = jax.jit(lambda p, v: voxel_downsample(p, v, 0.01, 64))
+    p = jnp.zeros((128, 3))
+    v = jnp.ones((128,), bool)
+    f(p, v)
+    f(p + 1.0, v)  # same shapes -> cached

@@ -1,0 +1,72 @@
+"""Drive the FULL rt3d pipeline end-to-end on the TPU chip.
+
+Synthetic HD720 two-camera scene -> fused jitted step (YOLO11-seg forward,
+static NMS, ByteTrack, mask back-projection, voxel dedupe, fusion,
+subtraction) -> physical sanity checks + steady-state timing.
+
+Variant defaults to 'n' for a quick drive; set RT3D_DEMO_VARIANT=x for the
+flagship.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rt3d.config import reference_2cam_config
+from rt3d.io.synthetic import SyntheticSource
+from rt3d.pipeline.step import CameraCalib, build_pipeline
+from rt3d.runtime.driver import PipelineDriver
+
+
+def main() -> int:
+    import dataclasses
+
+    variant = os.environ.get("RT3D_DEMO_VARIANT", "n")
+    frames = int(os.environ.get("RT3D_DEMO_FRAMES", "20"))
+    print(f"devices: {jax.devices()}  variant: yolo11{variant}-seg")
+
+    cfg = reference_2cam_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant=variant))
+    pipe = build_pipeline(cfg)
+    t0 = time.time()
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(v.shape)) for v in params.values())
+    print(f"init: {n_params/1e6:.1f}M params in {time.time()-t0:.1f}s")
+
+    src = SyntheticSource(num_cameras=2, num_frames=8, hw=(720, 1280), num_objects=1)
+    packets = [src.get(i) for i in range(8)]
+
+    class Pre:
+        def get(self, i):
+            return packets[i % len(packets)]
+
+    driver = PipelineDriver(pipe, params, mode="fused")
+    t0 = time.time()
+    res = driver.run(Pre(), num_frames=frames, warmup=3)
+    print(f"total wall (incl. compile): {time.time()-t0:.1f}s")
+    print(f"steady-state: mean {res.mean_fps:.2f} FPS, median {res.median_fps:.2f}, "
+          f"max {res.max_fps:.2f}")
+
+    out = res.last_outputs
+    ws_n = int(out.workspace.count)
+    print(f"workspace voxels after subtraction: {ws_n}")
+    assert ws_n > 5000, "synthetic table should produce a dense workspace"
+    ovf = int(out.overflow)
+    print(f"overflow (dropped points): {ovf}")
+    print(f"tracker frame counter: {np.asarray(out.detections.valid).shape} dets, "
+          f"frames={int(driver.state.tracker.frame_id[0])}")
+
+    # random weights -> detections are noise; the geometry path is validated
+    # separately with oracle masks (tests/test_pipeline.py). Here we check
+    # the full program ran, shapes are stable, and state advanced.
+    assert int(driver.state.tracker.frame_id[0]) == frames
+    print("PIPELINE E2E OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
