@@ -5,11 +5,17 @@
 native:
 	g++ -O2 -shared -fPIC -o native/librt3d_replayer.so native/replayer.cpp -lpthread
 
+# tests must run on a REAL 8-device CPU mesh: scrub the TPU-tunnel site
+# hooks (tests/conftest.py also self-corrects via re-exec, but invoking
+# with the right env gives live output)
+TEST_ENV = env -u PALLAS_AXON_POOL_IPS RT3D_TEST_REEXEC=1 JAX_PLATFORMS=cpu \
+  PYTHONPATH=. XLA_FLAGS="--xla_force_host_platform_device_count=8"
+
 test:
-	python -m pytest tests/ -q
+	$(TEST_ENV) python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -x -m "not slow"
+	$(TEST_ENV) python -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	PYTHONPATH=.:$$PYTHONPATH python bench.py

@@ -16,7 +16,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--source", default="synthetic",
                    help=".rts sequence path, or 'synthetic'")
     p.add_argument("--frames", type=int, default=100)
-    p.add_argument("--variant", default=None, help="YOLO11 scale n/s/m/l/x")
+    p.add_argument("--variant", default=None, choices=["n", "s", "m", "l", "x"],
+                   help="YOLO11 scale")
     p.add_argument("--weights", default=None, help="converted .npz or raw .pt")
     p.add_argument("--config", default=None, help="JSON config path")
     p.add_argument("--mode", default="fused", choices=["fused", "profile"])

@@ -140,6 +140,9 @@ class TrackerConfig:
     match_thresh: float = 0.7
     fuse_score: bool = True
     max_tracks: int = 64  # fixed track-slot capacity (TPU static shape)
+    # LAP solver: 'greedy' (vectorized, ~100x lower TPU latency) or 'exact'
+    # (Hungarian; see rt3d/tracking/assignment.py for the trade-off)
+    assignment: str = "greedy"
     # BoT-SORT appearance extension (reference `trackers/botsort.yaml:14-19`)
     with_reid: bool = False
     proximity_thresh: float = 0.5
@@ -197,10 +200,15 @@ class PipelineConfig:
     subtraction_threshold: float = 0.06
     sor_nb_neighbors: int = 20
     sor_std_ratio: float = 1.5
+    # half-range of the packed voxel-dedupe grid around the robot origin;
+    # points beyond it are dropped (see rt3d/geometry/ops.py packed path)
+    dedupe_bound_m: float = 2.56
     # Workspace cloud is retrieved at reduced resolution in the reference
     # (640x360 XYZ measure, `2cams.py:143-150`); we stride the full-res depth.
     workspace_stride: int = 2
     # --- static capacities (padded buffer sizes; compile-time constants) ---
+    # raw mask-union pixels entering the object-path sort (pre-dedupe)
+    mask_presort_capacity: int = 131072
     max_points_per_object: int = 1024     # voxels per object after downsample
     max_points_fused_object: int = 2048   # after 2-camera vstack
     max_points_workspace: int = 32768     # per-camera workspace voxels

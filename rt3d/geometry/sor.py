@@ -43,13 +43,27 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(a2 + b2.T - 2.0 * cross, 0.0)
 
 
-def sor_inlier_mask(
-    points: jax.Array,
-    valid: jax.Array,
-    nb_neighbors: int = 20,
-    std_ratio: float = 1.5,
-) -> jax.Array:
-    """Boolean inlier mask over a padded (N, 3) cloud."""
+def _smallest_k(d2: jax.Array, k: int) -> jax.Array:
+    """The k smallest entries per row of a (N, M) matrix, ascending.
+
+    `lax.top_k` lowers to a per-row sort on TPU (~7 ms for 2048x2048);
+    for small k, k rounds of (min, argmin, mask-out) are pure VPU passes
+    (~0.1 ms). Exact — ties broken by argmin's first-index rule."""
+    n, m = d2.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+
+    def body(carry, _):
+        d2_c = carry
+        idx = jnp.argmin(d2_c, axis=1)
+        val = jnp.min(d2_c, axis=1)
+        d2_c = jnp.where(cols == idx[:, None], _BIG, d2_c)
+        return d2_c, val
+
+    _, vals = jax.lax.scan(body, d2, None, length=k)
+    return vals.T  # (N, k) ascending
+
+
+def _knn_mean_xla(points, valid, k):
     n = points.shape[0]
     d2 = pairwise_sqdist(points, points)
     # invalid columns can never be neighbours
@@ -57,16 +71,37 @@ def sor_inlier_mask(
     # self-distance is 0 and participates in the top-k (Open3D semantics);
     # make sure it is exactly 0 even with fp error.
     d2 = d2.at[jnp.diag_indices(n)].set(0.0)
-    k = min(nb_neighbors, n)
-    neg_topk, _ = jax.lax.top_k(-d2, k)  # (N, k) smallest distances
-    dists = jnp.sqrt(jnp.maximum(-neg_topk, 0.0))
+    small = _smallest_k(d2, k)  # (N, k) smallest squared distances
+    dists = jnp.sqrt(jnp.maximum(small, 0.0))
     # sum over the k nearest (incl. self at 0) / (k - 1) == mean over k-1
     # true neighbours — Open3D divides by (nb_neighbors - 1).
     mean_d = jnp.sum(jnp.where(dists < 1e18, dists, 0.0), axis=1) / jnp.maximum(k - 1, 1)
     # a row with fewer than k valid neighbours picked up +inf entries —
     # treat its mean as huge so it gets rejected, as Open3D would once the
     # cloud is too small to support the query.
-    saturated = jnp.any(-neg_topk >= _BIG * 0.5, axis=1)
+    saturated = jnp.any(small >= _BIG * 0.5, axis=1)
+    return mean_d, saturated
+
+
+def sor_inlier_mask(
+    points: jax.Array,
+    valid: jax.Array,
+    nb_neighbors: int = 20,
+    std_ratio: float = 1.5,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """Boolean inlier mask over a padded (N, 3) cloud."""
+    n = points.shape[0]
+    k = min(nb_neighbors, n)
+    if use_pallas and n >= 256:
+        from rt3d.geometry.pallas_ops import pallas_available, sor_knn_mean_pallas
+
+        if pallas_available():
+            mean_d, saturated = sor_knn_mean_pallas(points, valid, k=k)
+        else:
+            mean_d, saturated = _knn_mean_xla(points, valid, k)
+    else:
+        mean_d, saturated = _knn_mean_xla(points, valid, k)
     mean_d = jnp.where(saturated, _BIG, mean_d)
 
     vf = valid & ~saturated

@@ -68,12 +68,25 @@ def subtract_min_dist(
     objects: PointBuffer,
     distance_threshold: float,
     tile: int = 2048,
+    use_pallas: bool = True,
 ) -> PointBuffer:
     """Keep workspace points farther than `distance_threshold` from every
     valid object point (reference `subtract_point_clouds_gpu`,
     `vision_pipeline_utils.py:168-187`). With zero valid object points all
     workspace points are kept (the reference would fault on the empty min —
-    we define the sensible semantics and document the divergence)."""
+    we define the sensible semantics and document the divergence).
+
+    On TPU the contraction runs as a fused Pallas kernel (no HBM
+    materialization of distance tiles); elsewhere the scanned XLA tiling."""
+    if use_pallas:
+        from rt3d.geometry.pallas_ops import min_sqdist_pallas, pallas_available
+
+        if pallas_available():
+            mind2 = min_sqdist_pallas(
+                workspace.points, objects.points, objects.valid
+            )
+            keep = workspace.valid & (mind2 > jnp.float32(distance_threshold) ** 2)
+            return PointBuffer(points=workspace.points, valid=keep)
     mind2 = min_sqdist_to_set(
         workspace.points, workspace.valid, objects.points, objects.valid, tile
     )

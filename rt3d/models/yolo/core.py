@@ -113,6 +113,11 @@ def conv2d(
         kernel = ctx.param("kernel", (k, k, cin // groups, cout), fan_in=k * k * cin // groups)
         bias = ctx.param("bias", (cout,))
     pad = k // 2
+    # preferred_element_type matches the operand dtype so the conv transpose
+    # (gradient) rule stays dtype-consistent — mixed bf16 operands with an
+    # f32 preferred type breaks `grad` (cotangent/operand dtype mismatch in
+    # the transposed conv). The TPU MXU accumulates bf16 products in f32
+    # internally regardless; bias+activation below run in f32.
     y = jax.lax.conv_general_dilated(
         x.astype(_COMPUTE_DTYPE),
         kernel.astype(_COMPUTE_DTYPE),
@@ -120,11 +125,11 @@ def conv2d(
         padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_COMPUTE_DTYPE,
         precision=jax.lax.Precision.HIGHEST,  # no-op for bf16 operands;
         # keeps f32 runs (tests, debugging) actually f32 on every backend
     )
-    y = y + bias.astype(jnp.float32)
+    y = y.astype(jnp.float32) + bias.astype(jnp.float32)
     if act and not raw:
         y = silu(y)
     return y.astype(_COMPUTE_DTYPE)

@@ -89,7 +89,10 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
             ),
         )
 
-    # build out_specs from an abstract eval of the local step
+    # Build out_specs from an abstract eval of the SINGLE-DEVICE step — it
+    # returns the same (state, FrameOutputs) tree structure but contains no
+    # collectives, so it can be eval_shape'd outside the mesh (the local
+    # step's all_gather would hit "unbound axis name" there).
     c = pipeline.cfg.rig.num_cameras
     cam = pipeline.cfg.rig.cameras[0]
     h, w = cam.intrinsics.height, cam.intrinsics.width
@@ -97,24 +100,18 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
     abs_params = {
         k: jax.ShapeDtypeStruct(s, jnp.float32) for k, (s, _) in params_shapes.items()
     }
-    n_dev = mesh.shape[cam_axis]
-    local_c = max(c // n_dev, 1)
     abs_state = jax.eval_shape(pipeline.init_state)
-    abs_state_local = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct((local_c,) + x.shape[1:], x.dtype), abs_state
-    )
-    abs_out = jax.eval_shape(
-        local_step,
+    abs_state_out, abs_out = jax.eval_shape(
+        pipeline.step,
         abs_params,
-        abs_state_local,
-        jax.ShapeDtypeStruct((local_c, h, w, 3), jnp.uint8),
-        jax.ShapeDtypeStruct((local_c, h, w), jnp.float32),
+        abs_state,
+        jax.ShapeDtypeStruct((c, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((c, h, w), jnp.float32),
         jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct((local_c,) + x.shape[1:], x.dtype),
-            calib_proto,
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), calib_proto
         ),
     )
-    out_specs = out_specs_for(*abs_out)
+    out_specs = out_specs_for(abs_state_out, abs_out)
 
     sharded = shard_map(
         local_step,

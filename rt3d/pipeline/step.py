@@ -197,6 +197,8 @@ class Pipeline:
                 pts, valid.reshape(-1),
                 masks_c.reshape(masks_c.shape[0], -1),
                 p.voxel_size, p.max_points_per_object,
+                bound_m=p.dedupe_bound_m,
+                stage1_capacity=p.mask_presort_capacity,
             )
             objs = ObjectSet(
                 points=buf.points,
@@ -230,7 +232,10 @@ class Pipeline:
             valid = valid.reshape(-1) & aabb_mask(
                 pts, p.workspace_x_bounds, p.workspace_y_bounds, p.workspace_z_bounds
             )
-            return voxel_downsample(pts, valid, p.voxel_size, p.max_points_workspace)
+            return voxel_downsample(
+                pts, valid, p.voxel_size, p.max_points_workspace,
+                bound_m=p.dedupe_bound_m,
+            )
 
         return jax.vmap(one)(
             depth, calib.fx, calib.fy, calib.cx, calib.cy,

@@ -45,7 +45,14 @@ class PipelineDriver:
         fps_log_path: Optional[str] = None,
         timings_path: Optional[str] = None,
         donate_state: bool = True,
+        pipeline_depth: int = 1,
     ):
+        # pipeline_depth > 1 overlaps host dispatch with device compute
+        # (classic double-buffering: block on frame i-(depth-1) while frame
+        # i runs). Adds depth-1 frames of latency; raises throughput by
+        # hiding the per-dispatch tunnel cost. depth=1 == reference
+        # semantics (full sync per frame).
+        self.pipeline_depth = max(1, pipeline_depth)
         self.pipeline = pipeline
         self.params = params
         self.mode = mode
@@ -117,31 +124,64 @@ class PipelineDriver:
         on_frame: Optional[Callable[[int, FrameOutputs], None]] = None,
         fetch_outputs: bool = True,
     ) -> DriverResult:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Upload prefetcher: frame fetch + host->device transfer runs on a
+        # side thread `pipeline_depth` frames ahead, overlapping transfer
+        # latency with device compute (the streaming analog of the C++
+        # replayer's page-cache prefetch; the reference blocks on
+        # `retrieve_image` every frame instead).
+        uploader = ThreadPoolExecutor(max_workers=1)
+
+        def fetch(idx):
+            pkt = source.get(idx)
+            return jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth)
+
+        ahead = max(self.pipeline_depth, 1)
+        in_flight = deque(
+            uploader.submit(fetch, j) for j in range(min(ahead, num_frames))
+        )
+        next_fetch = len(in_flight)
+
         fps_hist = []
         out = None
+        pending = deque()
         for i in range(num_frames):
             t0 = time.perf_counter()
             with self.log.span("Frame Retrieval"):
-                pkt = source.get(i)
-                rgb = jnp.asarray(pkt.rgb)
+                rgb, depth = in_flight.popleft().result()
+                if next_fetch < num_frames:
+                    in_flight.append(uploader.submit(fetch, next_fetch))
+                    next_fetch += 1
             with self.log.span("Depth Retrieval"):
-                depth = jnp.asarray(pkt.depth)
+                pass  # retrieval is fused with the prefetched upload above
 
             if self.mode == "fused":
                 out = self._run_fused(rgb, depth)
                 if fetch_outputs:
-                    jax.block_until_ready(
-                        (out.workspace.valid, out.objects_flat.points)
-                    )
+                    pending.append((i, out))
+                    if len(pending) >= self.pipeline_depth:
+                        j, out_j = pending.popleft()
+                        jax.block_until_ready(
+                            (out_j.workspace.valid, out_j.objects_flat.points)
+                        )
+                        if on_frame is not None:
+                            on_frame(j, out_j)
             else:
                 out = self._run_profiled(rgb, depth)
+                if on_frame is not None:
+                    on_frame(i, out)
 
             total = time.perf_counter() - t0
             self.log.end_iteration(total)
             if i >= warmup:
                 fps_hist.append(1.0 / max(total, 1e-9))
+        for j, out_j in pending:
+            jax.block_until_ready((out_j.workspace.valid, out_j.objects_flat.points))
             if on_frame is not None:
-                on_frame(i, out)
+                on_frame(j, out_j)
+        uploader.shutdown(wait=False)
         self.log.write_timings()
         fps_arr = np.asarray(fps_hist) if fps_hist else np.asarray([0.0])
         return DriverResult(

@@ -82,6 +82,7 @@ def _assoc_round(
     col_mask: jax.Array,
     thresh: float,
     fuse_score: bool,
+    method: str = "greedy",
 ) -> Tuple[jax.Array, jax.Array]:
     """One association round. Returns (col_of_row (S,), row_of_col (D,))."""
     track_boxes = xyah_to_xyxy(ts.mean[:, :4])
@@ -90,7 +91,7 @@ def _assoc_round(
     if fuse_score:
         cost = 1.0 - (1.0 - cost) * det_scores[None, :]
     cost = jnp.where(row_mask[:, None] & col_mask[None, :], cost, 1e6)
-    return solve_matching(cost, thresh)
+    return solve_matching(cost, thresh, method=method)
 
 
 def _apply_matches(
@@ -160,8 +161,10 @@ def bytetrack_step(
     unconfirmed = was_tracked & ~ts.activated
 
     # --- round 1: pool x high
+    method = getattr(cfg, "assignment", "greedy")
     _, r1_row_of_col = _assoc_round(
-        ts, det.boxes, det.scores, pool, high, cfg.match_thresh, cfg.fuse_score
+        ts, det.boxes, det.scores, pool, high, cfg.match_thresh, cfg.fuse_score,
+        method,
     )
     r1_matched_slot = jnp.zeros((s,), bool).at[
         jnp.where(r1_row_of_col >= 0, r1_row_of_col, s)
@@ -171,7 +174,7 @@ def bytetrack_step(
     # --- round 2: leftover *tracked* pool x low  (gate 0.5, plain IoU)
     r2_rows = pool & was_tracked & ~r1_matched_slot
     _, r2_row_of_col = _assoc_round(
-        ts, det.boxes, det.scores, r2_rows, low, 0.5, False
+        ts, det.boxes, det.scores, r2_rows, low, 0.5, False, method
     )
     r2_matched_slot = jnp.zeros((s,), bool).at[
         jnp.where(r2_row_of_col >= 0, r2_row_of_col, s)
@@ -186,7 +189,8 @@ def bytetrack_step(
     det_taken = (r1_row_of_col >= 0) | (r2_row_of_col >= 0)
     rem_high = high & ~det_taken
     _, r3_row_of_col = _assoc_round(
-        ts, det.boxes, det.scores, unconfirmed, rem_high, 0.7, cfg.fuse_score
+        ts, det.boxes, det.scores, unconfirmed, rem_high, 0.7, cfg.fuse_score,
+        method,
     )
     r3_matched_slot = jnp.zeros((s,), bool).at[
         jnp.where(r3_row_of_col >= 0, r3_row_of_col, s)
