@@ -21,6 +21,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--weights", default=None, help="converted .npz or raw .pt")
     p.add_argument("--config", default=None, help="JSON config path")
     p.add_argument("--mode", default="fused", choices=["fused", "profile"])
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="frames in flight (1 = fully synchronous)")
     p.add_argument("--log-dir", default="runs")
     p.add_argument("--save-ply", action="store_true",
                    help="dump workspace/object clouds as PLY every 30 frames")

@@ -32,7 +32,7 @@ def main() -> int:
                                    cfg.rig.cameras[0].intrinsics.width))
     os.makedirs(args.log_dir, exist_ok=True)
     driver = PipelineDriver(
-        pipe, params, mode=args.mode,
+        pipe, params, mode=args.mode, pipeline_depth=args.pipeline_depth,
         fps_log_path=os.path.join(args.log_dir, "fps_log.csv"),
         timings_path=os.path.join(args.log_dir, "timings.csv"),
     )

@@ -34,8 +34,8 @@ def main() -> int:
     @jax.jit
     def det_track(params, state, rgb):
         images = pipe.preprocess(rgb)
-        det, protos = pipe.detect(params, images)
-        state, ids = pipe.track(state, det)
+        det, protos, emb = pipe.detect(params, images)
+        state, ids = pipe.track(state, det, det_emb=emb, images=images)
         return state, det, ids
 
     state = pipe.init_state()

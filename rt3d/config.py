@@ -147,6 +147,8 @@ class TrackerConfig:
     with_reid: bool = False
     proximity_thresh: float = 0.5
     appearance_thresh: float = 0.25
+    emb_dim: int = 64          # pooled-neck appearance feature width
+    gmc: bool = False          # camera-motion compensation (phase corr.)
 
 
 # ---------------------------------------------------------------------------

@@ -19,3 +19,14 @@ from rt3d.geometry.ops import (  # noqa: F401
 from rt3d.geometry.sor import sor_inlier_mask, sor_filter  # noqa: F401
 from rt3d.geometry.subtract import subtract_min_dist  # noqa: F401
 from rt3d.geometry.fusion import fuse_centroid  # noqa: F401
+from rt3d.geometry.image import (  # noqa: F401
+    dilate_mask,
+    erode_mask,
+    random_subsample,
+)
+from rt3d.geometry.voxel_sets import (  # noqa: F401
+    VoxelAccumulator,
+    accumulate_voxels,
+    extract_accumulated,
+    subtract_voxel_sets,
+)

@@ -268,12 +268,17 @@ class YoloSeg:
             protos.astype(jnp.float32),
         )
 
+    def forward_with_feats(self, params: Params, images: jax.Array):
+        """Head outputs plus the three neck feature maps (P3/P4/P5) — the
+        P3 map doubles as the appearance-embedding source for BoT-SORT."""
+        ctx = ParamCtx(params=params)
+        feats = self.backbone_neck(ctx, images.astype(compute_dtype()))
+        return self.head(ctx, feats), feats
+
     def forward(self, params: Params, images: jax.Array):
         """images: (B, H, W, 3) float in [0,1] (letterboxed). Returns the
         raw head tuple — decode with `postprocess.decode_predictions`."""
-        ctx = ParamCtx(params=params)
-        feats = self.backbone_neck(ctx, images.astype(compute_dtype()))
-        return self.head(ctx, feats)
+        return self.forward_with_feats(params, images)[0]
 
     def param_shapes(self):
         """Shape-mode trace (no FLOPs): {path: (shape, fan_in)}."""

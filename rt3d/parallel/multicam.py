@@ -44,8 +44,8 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
     def local_step(params, state: PipelineState, rgb, depth, calib: CameraCalib):
         # ---- per-camera work on the local shard (usually 1 camera) ----
         images = pipeline.preprocess(rgb)
-        det, protos = pipeline.detect(params, images)
-        state, ids = pipeline.track(state, det)
+        det, protos, emb = pipeline.detect(params, images)
+        state, ids = pipeline.track(state, det, det_emb=emb, images=images)
         masks = pipeline.masks(protos, det)
         objs, obj_ovf = pipeline.object_clouds(depth, masks, det, ids, calib)
         ws, ws_ovf = pipeline.workspace_clouds(depth, calib)

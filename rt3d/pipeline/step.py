@@ -91,6 +91,9 @@ class PipelineState:
     only persistent state was the hidden ultralytics tracker)."""
 
     tracker: TrackerState  # leading camera axis on every leaf
+    # previous frame's downsampled grayscale per camera, for BoT-SORT GMC
+    # (zeros-sized (C, 1, 1) placeholder when GMC is off)
+    prev_gray: jax.Array
 
 
 @struct.dataclass
@@ -112,12 +115,31 @@ class Pipeline:
     model: YoloSeg
 
     # ------------------------------------------------------------------
+    @property
+    def _use_reid(self) -> bool:
+        t = self.cfg.tracker
+        return t.tracker_type == "botsort" and t.with_reid
+
+    @property
+    def _use_gmc(self) -> bool:
+        t = self.cfg.tracker
+        return t.tracker_type == "botsort" and t.gmc
+
+    def _gray_hw(self):
+        h, w = self.model.input_hw
+        return (h // 4, w // 4)
+
     def init_state(self) -> PipelineState:
         c = self.cfg.rig.num_cameras
-        trackers = jax.vmap(lambda _: bytetrack_init(self.cfg.tracker.max_tracks))(
-            jnp.arange(c)
+        t = self.cfg.tracker
+        trackers = jax.vmap(
+            lambda _: bytetrack_init(t.max_tracks, emb_dim=t.emb_dim)
+        )(jnp.arange(c))
+        gh, gw = self._gray_hw() if self._use_gmc else (1, 1)
+        return PipelineState(
+            tracker=trackers,
+            prev_gray=jnp.zeros((c, gh, gw), jnp.float32),
         )
-        return PipelineState(tracker=trackers)
 
     # ------------------------------------------------------------------
     # stage pieces (also used standalone by the profiling driver)
@@ -133,12 +155,17 @@ class Pipeline:
         meta = self._meta()
         return jax.vmap(lambda f: preprocess_frame(f, meta))(rgb)
 
-    def detect(self, params, images: jax.Array) -> Tuple[Detections, jax.Array]:
+    def detect(
+        self, params, images: jax.Array
+    ) -> Tuple[Detections, jax.Array, Optional[jax.Array]]:
         """Batched forward + decode + NMS. Returns (detections with boxes in
-        ORIGINAL pixels (camera axis leading), protos (C, hp, wp, nm))."""
+        ORIGINAL pixels (camera axis leading), protos (C, hp, wp, nm),
+        embeddings (C, D, E) or None)."""
         m, p = self.model, self.cfg.model
         meta = self._meta()
-        box_l, cls_l, coeff_l, protos = m.forward(params, images)
+        (box_l, cls_l, coeff_l, protos), feats = m.forward_with_feats(
+            params, images
+        )
         boxes, scores = decode_predictions(m, box_l, cls_l)
         class_mask = jnp.zeros((p.num_classes,), bool)
         if p.class_filter:
@@ -155,19 +182,78 @@ class Pipeline:
             )
             return det.replace(boxes=boxes_to_original(det.boxes, meta))
 
-        return jax.vmap(one)(boxes, scores, coeff_l), protos
+        det = jax.vmap(one)(boxes, scores, coeff_l)
+        emb = None
+        if self._use_reid:
+            emb = jax.vmap(
+                lambda f, d: self._pooled_embeddings(f, d, meta)
+            )(feats[0].astype(jnp.float32), det)
+        return det, protos, emb
+
+    def _pooled_embeddings(self, p3: jax.Array, det: Detections, meta):
+        """Appearance features for BoT-SORT: the stride-8 neck feature at
+        each box centre, channel-group-pooled to `emb_dim`, L2-normalized.
+        Replaces the external ReID network of classic BoT-SORT with the
+        detector's own features (zero extra conv cost)."""
+        e = self.cfg.tracker.emb_dim
+        hf, wf, c = p3.shape
+        assert c % e == 0, (c, e)
+        cx = (det.boxes[:, 0] + det.boxes[:, 2]) / 2
+        cy = (det.boxes[:, 1] + det.boxes[:, 3]) / 2
+        fx = jnp.clip(((cx * meta.ratio + meta.pad_left) / 8).astype(jnp.int32), 0, wf - 1)
+        fy = jnp.clip(((cy * meta.ratio + meta.pad_top) / 8).astype(jnp.int32), 0, hf - 1)
+        v = p3[fy, fx]  # (D, C)
+        v = v.reshape(v.shape[0], e, c // e).mean(axis=-1)
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6)
 
     def track(
-        self, state: PipelineState, det: Detections
+        self,
+        state: PipelineState,
+        det: Detections,
+        det_emb: Optional[jax.Array] = None,
+        images: Optional[jax.Array] = None,
     ) -> Tuple[PipelineState, jax.Array]:
         tcfg = self.cfg.tracker
         fps = self.cfg.rig.cameras[0].fps
+        prev_gray = state.prev_gray
 
-        def one(ts, d):
-            return bytetrack_step(ts, d, tcfg, frame_rate=fps)
+        if self._use_gmc and images is not None:
+            from rt3d.tracking.botsort import estimate_translation_gmc
 
-        new_tracker, ids = jax.vmap(one)(state.tracker, det)
-        return PipelineState(tracker=new_tracker), ids
+            gh, gw = self._gray_hw()
+            gray = jax.vmap(
+                lambda im: jax.image.resize(im.mean(axis=-1), (gh, gw), "linear")
+            )(images.astype(jnp.float32))
+            # estimated shift is at 1/4 input scale and boxes live in
+            # ORIGINAL pixels -> scale by 4 / letterbox ratio
+            scale = 4.0 / self._meta().ratio
+            shifts = jax.vmap(estimate_translation_gmc)(prev_gray, gray) * scale
+            prev_gray = gray
+        else:
+            shifts = None
+
+        if self._use_reid and det_emb is not None:
+            def one(ts, d, e, sh):
+                return bytetrack_step(ts, d, tcfg, frame_rate=fps,
+                                      det_emb=e, gmc_shift=sh)
+
+            if shifts is not None:
+                new_tracker, ids = jax.vmap(one)(state.tracker, det, det_emb, shifts)
+            else:
+                new_tracker, ids = jax.vmap(
+                    lambda ts, d, e: bytetrack_step(
+                        ts, d, tcfg, frame_rate=fps, det_emb=e)
+                )(state.tracker, det, det_emb)
+        elif shifts is not None:
+            new_tracker, ids = jax.vmap(
+                lambda ts, d, sh: bytetrack_step(
+                    ts, d, tcfg, frame_rate=fps, gmc_shift=sh)
+            )(state.tracker, det, shifts)
+        else:
+            new_tracker, ids = jax.vmap(
+                lambda ts, d: bytetrack_step(ts, d, tcfg, frame_rate=fps)
+            )(state.tracker, det)
+        return PipelineState(tracker=new_tracker, prev_gray=prev_gray), ids
 
     def masks(self, protos: jax.Array, det: Detections) -> jax.Array:
         """(C, D, H, W) bool full-resolution instance masks."""
@@ -279,8 +365,8 @@ class Pipeline:
         calib: CameraCalib,
     ) -> Tuple[PipelineState, FrameOutputs]:
         images = self.preprocess(rgb)
-        det, protos = self.detect(params, images)
-        state, ids = self.track(state, det)
+        det, protos, emb = self.detect(params, images)
+        state, ids = self.track(state, det, det_emb=emb, images=images)
         masks = self.masks(protos, det)
         per_cam_objs, obj_ovf = self.object_clouds(depth, masks, det, ids, calib)
         ws, ws_ovf = self.workspace_clouds(depth, calib)

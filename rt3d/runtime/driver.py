@@ -34,6 +34,7 @@ class DriverResult:
     max_fps: float
     summary_ms: Dict[str, float]
     last_outputs: Optional[FrameOutputs] = None
+    skipped_frames: int = 0
 
 
 class PipelineDriver:
@@ -89,8 +90,8 @@ class PipelineDriver:
         log = self.log
         with log.span("YOLO11 Inference"):
             images = self._preprocess(rgb)
-            det, protos = self._detect(self.params, images)
-            self.state, ids = self._track(self.state, det)
+            det, protos, emb = self._detect(self.params, images)
+            self.state, ids = self._track(self.state, det, emb, images)
             jax.block_until_ready(ids)
         with log.span("Mask Processing"):
             masks = self._masks(protos, det)
@@ -136,7 +137,11 @@ class PipelineDriver:
 
         def fetch(idx):
             pkt = source.get(idx)
-            return jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth)
+            # capture/replay error propagation: a nonzero per-camera status
+            # skips the whole iteration, mirroring the reference's
+            # error-code check + `continue` (`2cam/2cams.py:174-176`)
+            bad = bool(np.asarray(pkt.status).any())
+            return jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth), bad
 
         ahead = max(self.pipeline_depth, 1)
         in_flight = deque(
@@ -146,16 +151,20 @@ class PipelineDriver:
 
         fps_hist = []
         out = None
+        skipped = 0
         pending = deque()
         for i in range(num_frames):
             t0 = time.perf_counter()
             with self.log.span("Frame Retrieval"):
-                rgb, depth = in_flight.popleft().result()
+                rgb, depth, bad = in_flight.popleft().result()
                 if next_fetch < num_frames:
                     in_flight.append(uploader.submit(fetch, next_fetch))
                     next_fetch += 1
             with self.log.span("Depth Retrieval"):
                 pass  # retrieval is fused with the prefetched upload above
+            if bad:
+                skipped += 1
+                continue
 
             if self.mode == "fused":
                 out = self._run_fused(rgb, depth)
@@ -182,6 +191,7 @@ class PipelineDriver:
             if on_frame is not None:
                 on_frame(j, out_j)
         uploader.shutdown(wait=False)
+        self.skipped_frames = skipped
         self.log.write_timings()
         fps_arr = np.asarray(fps_hist) if fps_hist else np.asarray([0.0])
         return DriverResult(
@@ -191,4 +201,5 @@ class PipelineDriver:
             max_fps=float(fps_arr.max()),
             summary_ms=self.log.summary_ms(),
             last_outputs=out,
+            skipped_frames=skipped,
         )

@@ -54,11 +54,12 @@ class TrackerState:
     state: jax.Array      # (S,) int32 {EMPTY, TRACKED, LOST}
     activated: jax.Array  # (S,) bool (two-hit confirmation)
     last_update: jax.Array  # (S,) int32 frame of last measurement
+    emb: jax.Array        # (S, E) smoothed appearance features (BoT-SORT)
     frame_id: jax.Array   # () int32
     next_id: jax.Array    # () int32
 
 
-def bytetrack_init(max_tracks: int) -> TrackerState:
+def bytetrack_init(max_tracks: int, emb_dim: int = 64) -> TrackerState:
     s = max_tracks
     return TrackerState(
         mean=jnp.zeros((s, 8), jnp.float32),
@@ -69,6 +70,7 @@ def bytetrack_init(max_tracks: int) -> TrackerState:
         state=jnp.zeros((s,), jnp.int32),
         activated=jnp.zeros((s,), bool),
         last_update=jnp.zeros((s,), jnp.int32),
+        emb=jnp.zeros((s, emb_dim), jnp.float32),
         frame_id=jnp.int32(0),
         next_id=jnp.int32(1),
     )
@@ -83,6 +85,8 @@ def _assoc_round(
     thresh: float,
     fuse_score: bool,
     method: str = "greedy",
+    det_emb=None,
+    cfg=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One association round. Returns (col_of_row (S,), row_of_col (D,))."""
     track_boxes = xyah_to_xyxy(ts.mean[:, :4])
@@ -90,6 +94,13 @@ def _assoc_round(
     cost = 1.0 - iou
     if fuse_score:
         cost = 1.0 - (1.0 - cost) * det_scores[None, :]
+    if det_emb is not None and cfg is not None:
+        from rt3d.tracking.botsort import botsort_fuse_costs, embedding_distance
+
+        cost = botsort_fuse_costs(
+            cost, embedding_distance(ts.emb, det_emb),
+            cfg.proximity_thresh, cfg.appearance_thresh,
+        )
     cost = jnp.where(row_mask[:, None] & col_mask[None, :], cost, 1e6)
     return solve_matching(cost, thresh, method=method)
 
@@ -127,15 +138,22 @@ def bytetrack_step(
     det: Detections,
     cfg: TrackerConfig,
     frame_rate: int = 30,
+    det_emb: jax.Array | None = None,   # (D, E) BoT-SORT appearance feats
+    gmc_shift: jax.Array | None = None,  # (2,) camera-motion dx, dy
 ) -> Tuple[TrackerState, jax.Array]:
     """Advance the tracker one frame.
 
     Returns (new_state, det_track_ids (D,) int32): the persistent id each
     detection slot received, or -1 (unmatched / not yet activated — matching
     ultralytics, which only reports activated tracks).
+
+    With `det_emb` (and `cfg.with_reid`), the first association fuses
+    appearance cost BoT-SORT-style; with `gmc_shift`, predicted tracks are
+    motion-compensated before matching (see rt3d/tracking/botsort.py).
     """
     s = ts.mean.shape[0]
     d = det.capacity
+    use_reid = det_emb is not None and cfg.with_reid
     frame_id = ts.frame_id + 1
     ts = ts.replace(frame_id=frame_id)
 
@@ -151,6 +169,10 @@ def bytetrack_step(
         jnp.where(ts.state == TRACKED, ts.mean[:, 7], 0.0)
     )
     pmean, pcov = kalman_predict(mean_in, ts.cov)
+    if gmc_shift is not None:
+        from rt3d.tracking.botsort import apply_gmc_to_tracks
+
+        pmean = apply_gmc_to_tracks(pmean, gmc_shift)
     ts = ts.replace(
         mean=jnp.where(live[:, None], pmean, ts.mean),
         cov=jnp.where(live[:, None, None], pcov, ts.cov),
@@ -165,6 +187,8 @@ def bytetrack_step(
     _, r1_row_of_col = _assoc_round(
         ts, det.boxes, det.scores, pool, high, cfg.match_thresh, cfg.fuse_score,
         method,
+        det_emb=det_emb if use_reid else None,
+        cfg=cfg if use_reid else None,
     )
     r1_matched_slot = jnp.zeros((s,), bool).at[
         jnp.where(r1_row_of_col >= 0, r1_row_of_col, s)
@@ -229,6 +253,21 @@ def bytetrack_step(
         last_update=ts.last_update.at[scatter_slot].set(frame_id, mode="drop"),
         next_id=ts.next_id + jnp.sum(placeable.astype(jnp.int32)),
     )
+
+    # --- appearance feature maintenance (BoT-SORT EMA, botsort.py)
+    if use_reid:
+        from rt3d.tracking.botsort import update_smooth_features
+
+        slot_det = jnp.full((s,), -1, jnp.int32)
+        for roc in (r1_row_of_col, r2_row_of_col, r3_row_of_col):
+            slot_det = slot_det.at[
+                jnp.where(roc >= 0, roc, s)
+            ].set(cols, mode="drop")
+        fresh = jnp.zeros((s,), bool).at[scatter_slot].set(True, mode="drop")
+        slot_det_new = slot_det.at[scatter_slot].set(cols, mode="drop")
+        ts = ts.replace(emb=update_smooth_features(
+            ts.emb, det_emb, slot_det_new, fresh
+        ))
 
     # --- lost aging (max_time_lost = frame_rate/30 * track_buffer)
     max_lost = jnp.int32(int(frame_rate / 30.0 * cfg.track_buffer))
