@@ -211,6 +211,9 @@ class PipelineConfig:
     # --- static capacities (padded buffer sizes; compile-time constants) ---
     # raw mask-union pixels entering the object-path sort (pre-dedupe)
     mask_presort_capacity: int = 131072
+    # unique voxels across ALL detections per camera (bounds the batched
+    # per-detection compaction sort; 8192 covers ~8 full-capacity objects)
+    max_union_voxels: int = 8192
     max_points_per_object: int = 1024     # voxels per object after downsample
     max_points_fused_object: int = 2048   # after 2-camera vstack
     max_points_workspace: int = 32768     # per-camera workspace voxels

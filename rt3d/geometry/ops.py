@@ -344,6 +344,7 @@ def voxel_downsample_masks(
     capacity: int,
     bound_m: float = DEFAULT_DEDUPE_BOUND_M,
     stage1_capacity: int = 0,
+    union_capacity: int = 0,
 ) -> Tuple[PointBuffer, jax.Array]:
     """Voxel-downsample D masked subsets of one dense cloud with ONE sort.
 
@@ -371,12 +372,13 @@ def voxel_downsample_masks(
         return _voxel_masks_packed(
             points, valid, masks, voxel_size, capacity, bound_m,
             stage1_capacity or default_s1,
+            union_capacity or min(d * capacity, stage1_capacity or default_s1),
         )
     return _voxel_masks_lex(points, valid, masks, voxel_size, capacity)
 
 
 def _voxel_masks_packed(points, valid, masks, voxel_size, capacity, bound_m,
-                        stage1_capacity):
+                        stage1_capacity, union_capacity):
     """Pipeline: bitpack D masks -> block-compact the mask-union pixels ->
     sort the SMALL buffer -> bit-parallel segmented OR-scan -> per-det
     compact. The block pre-compaction is the big win: the sort (the single
@@ -432,9 +434,10 @@ def _voxel_masks_packed(points, valid, masks, voxel_size, capacity, bound_m,
     emit_word = sword & ~prev
     emit_word = jnp.where(skey != _INT_SENTINEL, emit_word, 0)
 
-    # shrink to the union of emitted voxels (<= D * capacity of them), then
-    # per-detection compaction is one small BATCHED stable flag sort
-    s2 = min(d * capacity, stage1_capacity)
+    # shrink to the union of emitted voxels, then per-detection compaction
+    # is one small BATCHED stable flag sort; `union_capacity` bounds that
+    # sort's width (overflow counted like every other capacity)
+    s2 = min(union_capacity, stage1_capacity)
     any_emit = emit_word != 0
     (k2, w2), _, drop2, valid2 = compact_scalars(
         any_emit, (skey, emit_word), s2

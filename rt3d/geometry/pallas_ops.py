@@ -22,18 +22,39 @@ _BIG = 3.4e38
 _FAR = 1.0e5  # invalid refs teleport here -> d2 ~ 1e10
 
 
-def _min_d2_kernel(q_ref, r_ref, o_ref, *, chunk: int, num_chunks: int):
+def _min_d2_kernel(q_ref, r_ref, cmin_ref, cmax_ref, o_ref, *,
+                   chunk: int, num_chunks: int, thresh2: float):
     q = q_ref[:]  # (TN, 3)
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)  # (TN, 1)
+    # query-tile AABB for chunk pruning (FAR padding rows only widen it on
+    # the final tile, which merely disables pruning there)
+    qmin = jnp.min(q, axis=0)
+    qmax = jnp.max(q, axis=0)
+
+    def compute(i, acc):
+        # exact f32 distances on the VPU via coordinate broadcasts — the
+        # K=3 matmul identity either rides the MXU in bf16 (1e-3 m error at
+        # 1 m range, flips keep/drop decisions) or pays the 6-pass HIGHEST
+        # decomposition; three squared-difference planes are cheaper and
+        # exact
+        r = r_ref[pl.ds(i * chunk, chunk), :]  # (chunk, 3)
+        dx = q[:, 0:1] - r[:, 0][None, :]
+        dy = q[:, 1:2] - r[:, 1][None, :]
+        dz = q[:, 2:3] - r[:, 2][None, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        return jnp.minimum(acc, jnp.min(d2, axis=1, keepdims=True))
 
     def body(i, acc):
-        r = r_ref[pl.ds(i * chunk, chunk), :]  # (chunk, 3)
-        r2 = jnp.sum(r * r, axis=1)  # (chunk,)
-        cross = jax.lax.dot_general(
-            q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        # sound pruning for thresholded min-distance: if the chunk's AABB
+        # is farther than the threshold from every point in this tile's
+        # AABB, the chunk cannot flip any keep/drop decision. Chunks of
+        # pure padding (teleported to _FAR) prune instantly.
+        cmin = cmin_ref[i, :]
+        cmax = cmax_ref[i, :]
+        gap = jnp.maximum(jnp.maximum(cmin - qmax, qmin - cmax), 0.0)
+        d2a = jnp.sum(gap * gap)
+        return jax.lax.cond(
+            d2a > thresh2, lambda a: a, lambda a: compute(i, a), acc
         )
-        d2 = q2 + r2[None, :] - 2.0 * cross
-        return jnp.minimum(acc, jnp.min(d2, axis=1, keepdims=True))
 
     acc = jax.lax.fori_loop(
         0, num_chunks, body, jnp.full((q.shape[0], 1), _BIG, jnp.float32)
@@ -41,16 +62,19 @@ def _min_d2_kernel(q_ref, r_ref, o_ref, *, chunk: int, num_chunks: int):
     o_ref[:] = jnp.maximum(acc, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "chunk"))
+@functools.partial(jax.jit, static_argnames=("threshold", "tile_n", "chunk"))
 def min_sqdist_pallas(
     queries: jax.Array,    # (N, 3) f32
     refs: jax.Array,       # (M, 3) f32
     ref_valid: jax.Array,  # (M,) bool
+    threshold: float = 1e4,
     tile_n: int = 512,
     chunk: int = 1024,
 ) -> jax.Array:
-    """Per-query squared distance to the nearest VALID ref point. Queries
-    with no valid refs anywhere get ~1e10 (far), never +inf."""
+    """Per-query squared distance to the nearest VALID ref point, exact
+    wherever it is <= threshold^2 (chunks provably beyond the threshold are
+    AABB-pruned and may leave the result at a larger-but-still-beyond
+    value). Queries with no valid refs anywhere get ~1e10 (far)."""
     n = queries.shape[0]
     m = refs.shape[0]
     q = queries.astype(jnp.float32)
@@ -63,19 +87,26 @@ def min_sqdist_pallas(
     if pad_m:
         r = jnp.pad(r, ((0, pad_m), (0, 0)), constant_values=_FAR)
     np_, mp_ = q.shape[0], r.shape[0]
+    num_chunks = mp_ // chunk
+    rc = r.reshape(num_chunks, chunk, 3)
+    cmin = jnp.min(rc, axis=1)  # (num_chunks, 3)
+    cmax = jnp.max(rc, axis=1)
 
     out = pl.pallas_call(
         functools.partial(
-            _min_d2_kernel, chunk=chunk, num_chunks=mp_ // chunk
+            _min_d2_kernel, chunk=chunk, num_chunks=num_chunks,
+            thresh2=float(threshold) ** 2,
         ),
         grid=(np_ // tile_n,),
         in_specs=[
             pl.BlockSpec((tile_n, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((mp_, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_chunks, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_chunks, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
-    )(q, r)
+    )(q, r, cmin, cmax)
     return out[:n, 0]
 
 

@@ -83,7 +83,8 @@ def subtract_min_dist(
 
         if pallas_available():
             mind2 = min_sqdist_pallas(
-                workspace.points, objects.points, objects.valid
+                workspace.points, objects.points, objects.valid,
+                threshold=float(distance_threshold),
             )
             keep = workspace.valid & (mind2 > jnp.float32(distance_threshold) ** 2)
             return PointBuffer(points=workspace.points, valid=keep)

@@ -285,6 +285,7 @@ class Pipeline:
                 p.voxel_size, p.max_points_per_object,
                 bound_m=p.dedupe_bound_m,
                 stage1_capacity=p.mask_presort_capacity,
+                union_capacity=p.max_union_voxels,
             )
             objs = ObjectSet(
                 points=buf.points,

