@@ -295,6 +295,24 @@ def reference_2cam_config() -> Config:
     return Config()
 
 
+def reference_2cam_cpu_config() -> Config:
+    """`2cams_mask_cpu.py` analog: voxel 1 cm, conf 0.25, five COCO classes
+    (`2cams_mask_cpu.py:523,543`), mask erosion enabled (12x12, `:55`).
+
+    Divergence note: that variant also SORs the workspace cloud on the CPU
+    (`:530`); rt3d's workspace path skips it (the benchmarked GPU variant
+    never does it, and exact SOR at workspace scale is O(N^2)).
+    """
+    base = Config()
+    return dataclasses.replace(
+        base,
+        model=dataclasses.replace(
+            base.model, conf_thresh=0.25,
+            class_filter=(39, 41, 42, 43, 45)),
+        pipeline=dataclasses.replace(base.pipeline, voxel_size=0.01),
+    )
+
+
 def reference_1cam_config() -> Config:
     """`1cam/rt-tracking.py` analog: single camera @60fps, yolo11l-seg,
     conf 0.3, 7-class filter (`1cam/rt-tracking.py:209-221`)."""

@@ -8,3 +8,5 @@ comparison tooling read either system's output interchangeably.
 
 from rt3d.runtime.timing import STAGES, TimingLog  # noqa: F401
 from rt3d.runtime.driver import PipelineDriver  # noqa: F401
+from rt3d.runtime.profiling import format_op_times, profile_op_times  # noqa: F401
+from rt3d.runtime.checkpoint import load_pytree, save_pytree  # noqa: F401

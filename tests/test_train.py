@@ -1,0 +1,68 @@
+"""Training-path test: the seg-detection objective is minimizable
+end-to-end (gradients flow through backbone, heads, and proto)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from rt3d.models.yolo.model import YoloSeg
+from rt3d.models.yolo.postprocess import anchor_grid
+from rt3d.train.step import make_train_step
+
+
+def _targets_for_box(model, box, cls_id, nc):
+    """Dense targets: anchors inside `box` are positives."""
+    a = model.num_anchors
+    pts, strides = anchor_grid(model.input_hw)
+    px = np.asarray(pts[:, 0]) * np.asarray(strides)
+    py = np.asarray(pts[:, 1]) * np.asarray(strides)
+    x1, y1, x2, y2 = box
+    inside = (px >= x1) & (px < x2) & (py >= y1) & (py < y2)
+    cls = np.zeros((a, nc), np.float32)
+    cls[inside, cls_id] = 1.0
+    ltrb = np.stack(
+        [px - x1, py - y1, x2 - px, y2 - py], axis=-1
+    ) / np.asarray(strides)[:, None]
+    ltrb = np.clip(ltrb, 0, 15.0 - 1e-3).astype(np.float32)
+    return cls, ltrb, inside.astype(np.float32)
+
+
+def test_overfit_single_box():
+    nc = 4
+    model = YoloSeg(variant="n", num_classes=nc, input_hw=(64, 96))
+    init_fn, step_fn = make_train_step(model, optax.adam(2e-3))
+    state = init_fn(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32)
+    img[:, 20:48, 30:70] += 1.0  # bright object region
+    cls_t, box_t, w = _targets_for_box(model, (30, 20, 70, 48), 2, nc)
+    mask_t = np.zeros((1, 16, 24), np.float32)
+    mask_t[:, 5:12, 7:18] = 1.0
+
+    batch = {
+        "images": jnp.asarray(img),
+        "cls": jnp.asarray(cls_t)[None],
+        "box": jnp.asarray(box_t)[None],
+        "box_w": jnp.asarray(w)[None],
+        "mask": jnp.asarray(mask_t),
+    }
+    losses = []
+    for _ in range(80):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # the DFL box CE has an entropy floor (soft two-bin targets), so total
+    # loss halves rather than vanishes; classification drives to ~0.1
+    assert losses[-1] < 0.55 * losses[0], (losses[0], losses[-1])
+    assert float(metrics["cls"]) < 0.2
+
+    # the trained model should now score the positive region's class higher
+    from rt3d.models.yolo.postprocess import decode_predictions
+
+    box_l, cls_l, _, _ = model.forward(state.params, jnp.asarray(img))
+    _, scores = decode_predictions(model, box_l, cls_l)
+    s = np.asarray(scores[0])
+    pos = w > 0
+    assert s[pos, 2].mean() > 3 * s[~pos, 2].mean()
