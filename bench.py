@@ -13,7 +13,6 @@ Prints exactly one JSON line:
 import json
 import os
 import sys
-import time
 
 BASELINE_FPS = 26.25  # reference avg FPS, 1 object @5mm voxel (BASELINE.md)
 

@@ -22,7 +22,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from rt3d.pipeline.step import CameraCalib, build_pipeline
+    from rt3d.pipeline.step import build_pipeline
 
     cfg = load_config(args, num_cameras=1)
     pipe = build_pipeline(cfg)

@@ -16,8 +16,6 @@ subsample uses a JAX PRNG key and a keep-mask (padded shapes preserved).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

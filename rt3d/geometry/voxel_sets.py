@@ -31,7 +31,6 @@ from rt3d.geometry.ops import (
     _INT_SENTINEL,
     _decode_packed,
     _quantize_packed,
-    compact_scalar,
     packed_cells,
 )
 

@@ -19,7 +19,6 @@ Weight layout transforms: conv OIHW -> HWIO; ConvTranspose IOHW -> HWIO.
 
 from __future__ import annotations
 
-import io
 import pickle
 from typing import Dict, Optional
 

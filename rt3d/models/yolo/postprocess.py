@@ -10,7 +10,6 @@ inside one jitted TPU program.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Tuple
 

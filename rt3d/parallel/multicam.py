@@ -10,9 +10,6 @@ fusion, which then runs replicated (SPMD) on every device.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

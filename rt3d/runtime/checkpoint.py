@@ -9,7 +9,7 @@ counters) and train state all round-trip through one .npz.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import numpy as np

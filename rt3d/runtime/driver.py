@@ -14,15 +14,14 @@ Replaces the reference's `while key != ord('q')` loops
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rt3d.config import Config
-from rt3d.pipeline.step import CameraCalib, FrameOutputs, Pipeline, PipelineState
+from rt3d.pipeline.step import CameraCalib, FrameOutputs, Pipeline
 from rt3d.runtime.timing import TimingLog
 
 

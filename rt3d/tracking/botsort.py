@@ -23,8 +23,6 @@ box centres (see `pipeline.step.Pipeline.detect` with
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
