@@ -125,6 +125,13 @@ def aabb_mask(
     )
 
 
+def point_clouds_equal(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Exact array equality (reference `point_clouds_equal`,
+    `vision_pipeline_utils.py:62-63` — its fusion-dedup bookkeeping; rt3d's
+    fusion tracks matches by slot index instead, see fusion.py)."""
+    return jnp.array_equal(a, b)
+
+
 def masked_centroid(points: jax.Array, valid: jax.Array) -> jax.Array:
     """Mean over valid rows (reference `calculate_centroid`,
     `vision_pipeline_utils.py:74-75`). Returns zeros for empty clouds."""
