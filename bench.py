@@ -54,6 +54,12 @@ def main() -> int:
 
     src = SyntheticSource(num_cameras=2, num_frames=16, hw=(720, 1280),
                           num_objects=1)
+    # calibration comes from the source, like the reference reads it from
+    # the ZED SDK (`2cams.py:90-124`) — real fusion/SOR work happens
+    from rt3d.config import with_cameras
+
+    cfg = with_cameras(cfg, src.cameras())
+    pipe = build_pipeline(cfg)
     packets = [src.get(i) for i in range(16)]
 
     class Pre:

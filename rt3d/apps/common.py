@@ -61,6 +61,17 @@ def open_source(args, num_cameras: int, hw: Tuple[int, int] = (720, 1280)):
     return ReplaySource(args.source, loop=True)
 
 
+def adopt_source_calibration(cfg, source):
+    """Use the source's calibration (replay metadata / synthetic model) —
+    the analog of reading ZED factory calibration at startup."""
+    from rt3d.config import with_cameras
+
+    cams = source.cameras()
+    if cams:
+        return with_cameras(cfg, cams)
+    return cfg
+
+
 def load_model_params(pipe, cfg: Config):
     """Converted weights if configured, else random init (documented:
     no pretrained checkpoints ship in this environment)."""

@@ -14,7 +14,8 @@ import numpy as np
 def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     from rt3d.apps.common import (
-        add_common_args, load_config, load_model_params, open_source,
+        add_common_args, adopt_source_calibration, load_config,
+        load_model_params, open_source,
     )
 
     add_common_args(p)
@@ -26,10 +27,11 @@ def main() -> int:
     from rt3d.runtime.driver import PipelineDriver
 
     cfg = load_config(args, num_cameras=1)
-    pipe = build_pipeline(cfg)
-    params = load_model_params(pipe, cfg)
     src = open_source(args, 1, hw=(cfg.rig.cameras[0].intrinsics.height,
                                    cfg.rig.cameras[0].intrinsics.width))
+    cfg = adopt_source_calibration(cfg, src)
+    pipe = build_pipeline(cfg)
+    params = load_model_params(pipe, cfg)
     os.makedirs(args.log_dir, exist_ok=True)
     driver = PipelineDriver(
         pipe, params, mode=args.mode, pipeline_depth=args.pipeline_depth,

@@ -288,6 +288,13 @@ class Config:
             return Config.from_dict(json.load(f))
 
 
+def with_cameras(cfg: Config, cameras) -> Config:
+    """Config with the rig replaced by a FrameSource's calibration — the
+    analog of the reference reading intrinsics/extrinsics from the camera
+    SDK at startup (`2cams.py:90-124`) instead of trusting defaults."""
+    return dataclasses.replace(cfg, rig=RigConfig(cameras=tuple(cameras)))
+
+
 def reference_2cam_config() -> Config:
     """The configuration behind the reference's published benchmark numbers
     (`2cams_mask_gpu.py`: voxel 5 mm, conf 0.1, classes Bottle+Cup,

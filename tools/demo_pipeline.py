@@ -29,15 +29,17 @@ def main() -> int:
     frames = int(os.environ.get("RT3D_DEMO_FRAMES", "20"))
     print(f"devices: {jax.devices()}  variant: yolo11{variant}-seg")
 
+    from rt3d.config import with_cameras
+
+    src = SyntheticSource(num_cameras=2, num_frames=8, hw=(720, 1280), num_objects=1)
     cfg = reference_2cam_config()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant=variant))
+    cfg = with_cameras(cfg, src.cameras())
     pipe = build_pipeline(cfg)
     t0 = time.time()
     params = pipe.model.init(jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"init: {n_params/1e6:.1f}M params in {time.time()-t0:.1f}s")
-
-    src = SyntheticSource(num_cameras=2, num_frames=8, hw=(720, 1280), num_objects=1)
     packets = [src.get(i) for i in range(8)]
 
     class Pre:
