@@ -11,8 +11,9 @@ native:
 TEST_ENV = env -u PALLAS_AXON_POOL_IPS RT3D_TEST_REEXEC=1 JAX_PLATFORMS=cpu \
   PYTHONPATH=. XLA_FLAGS="--xla_force_host_platform_device_count=8"
 
+# usage: make test [ARGS="tests/test_foo.py -k bar"]
 test:
-	$(TEST_ENV) python -m pytest tests/ -q
+	$(TEST_ENV) python -m pytest $(or $(ARGS),tests/) -q
 
 test-fast:
 	$(TEST_ENV) python -m pytest tests/ -q -x -m "not slow"

@@ -208,6 +208,14 @@ class PipelineConfig:
     # Workspace cloud is retrieved at reduced resolution in the reference
     # (640x360 XYZ measure, `2cams.py:143-150`); we stride the full-res depth.
     workspace_stride: int = 2
+    # Square-kernel mask erosion applied to every instance mask before
+    # backprojection; 0 disables. The CPU reference variant erodes 12x12
+    # (`2cams_mask_cpu.py:55,583-586`), the 1cam app 10x10
+    # (`1cam/rt-tracking.py:30`); the benchmarked GPU variant leaves it off.
+    erode_kernel: int = 0
+    # SOR the fused workspace cloud (CPU variant only,
+    # `2cams_mask_cpu.py:530`); the GPU/benchmark variant skips it.
+    workspace_sor: bool = False
     # --- static capacities (padded buffer sizes; compile-time constants) ---
     # raw mask-union pixels entering the object-path sort (pre-dedupe)
     mask_presort_capacity: int = 131072
@@ -219,6 +227,12 @@ class PipelineConfig:
     max_points_workspace: int = 32768     # per-camera workspace voxels
     max_points_workspace_fused: int = 65536
     max_objects_fused: int = 40           # 2 x max_detections slots
+    # capacity of the flattened all-objects buffer handed to subtraction
+    # (the reference vstacks everything, `vision_pipeline_utils.py:314-318`);
+    # sized for ~10 simultaneous full-capacity fused objects — the worst
+    # realistic scene, not the theoretical 40x2048 maximum. Overflow beyond
+    # this is counted and reported per frame (`step.py` fuse()).
+    max_points_fused_flat: int = 20480
 
 
 @dataclass(frozen=True)
@@ -304,19 +318,18 @@ def reference_2cam_config() -> Config:
 
 def reference_2cam_cpu_config() -> Config:
     """`2cams_mask_cpu.py` analog: voxel 1 cm, conf 0.25, five COCO classes
-    (`2cams_mask_cpu.py:523,543`), mask erosion enabled (12x12, `:55`).
-
-    Divergence note: that variant also SORs the workspace cloud on the CPU
-    (`:530`); rt3d's workspace path skips it (the benchmarked GPU variant
-    never does it, and exact SOR at workspace scale is O(N^2)).
-    """
+    (`2cams_mask_cpu.py:523,543`), mask erosion 12x12 (`:55,583-586`), and
+    workspace SOR (`:530`) via the bucketed-kNN kernel (exact O(N^2) SOR
+    can't hold 64 K workspace points)."""
     base = Config()
     return dataclasses.replace(
         base,
         model=dataclasses.replace(
             base.model, conf_thresh=0.25,
             class_filter=(39, 41, 42, 43, 45)),
-        pipeline=dataclasses.replace(base.pipeline, voxel_size=0.01),
+        pipeline=dataclasses.replace(
+            base.pipeline, voxel_size=0.01, erode_kernel=12,
+            workspace_sor=True),
     )
 
 

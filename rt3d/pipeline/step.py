@@ -33,6 +33,7 @@ from flax import struct
 
 from rt3d.config import Config
 from rt3d.geometry.fusion import ObjectSet, flatten_objects, fuse_centroid
+from rt3d.geometry.image import erode_mask
 from rt3d.geometry.ops import (
     PointBuffer,
     aabb_mask,
@@ -41,6 +42,7 @@ from rt3d.geometry.ops import (
     voxel_downsample,
     voxel_downsample_masks,
 )
+from rt3d.geometry.sor import sor_inlier_mask_windowed
 from rt3d.geometry.subtract import subtract_min_dist
 from rt3d.models.yolo.model import YoloSeg
 from rt3d.models.yolo.postprocess import (
@@ -256,13 +258,19 @@ class Pipeline:
         return PipelineState(tracker=new_tracker, prev_gray=prev_gray), ids
 
     def masks(self, protos: jax.Array, det: Detections) -> jax.Array:
-        """(C, D, H, W) bool full-resolution instance masks."""
+        """(C, D, H, W) bool full-resolution instance masks; optionally
+        eroded per mask (`2cams_mask_cpu.py:583-586` applies cv2 12x12
+        erosion to every mask before backprojection)."""
         meta = self._meta()
 
         def one(pr, d):
             return assemble_masks_retina(pr, d.coeffs, d.boxes, meta)
 
-        return jax.vmap(one)(protos, det)
+        out = jax.vmap(one)(protos, det)
+        k = self.cfg.pipeline.erode_kernel
+        if k > 0:
+            out = erode_mask(out, k)
+        return out
 
     def dense_robot_points(
         self, depth: jax.Array, calib: CameraCalib
@@ -370,9 +378,7 @@ class Pipeline:
                 fused, other, p.fusion_distance_threshold,
                 p.sor_nb_neighbors, p.sor_std_ratio,
             )
-        flat, ovf = flatten_objects(
-            fused, capacity=p.max_points_fused_object * p.max_objects_fused // 4
-        )
+        flat, ovf = flatten_objects(fused, capacity=p.max_points_fused_flat)
         return fused, flat, ovf
 
     def subtract(
@@ -410,6 +416,16 @@ class Pipeline:
         ws_all = PointBuffer(
             points=ws.points.reshape(-1, 3), valid=ws.valid.reshape(-1)
         )
+        if self.cfg.pipeline.workspace_sor:
+            # CPU reference variant SORs the fused workspace cloud
+            # (`2cams_mask_cpu.py:530`); workspace scale forbids the exact
+            # O(N^2) kernel, so this is the Morton-window approximation.
+            keep = sor_inlier_mask_windowed(
+                ws_all.points, ws_all.valid,
+                self.cfg.pipeline.sor_nb_neighbors,
+                self.cfg.pipeline.sor_std_ratio,
+            )
+            ws_all = PointBuffer(points=ws_all.points, valid=keep)
         ws_out = self.subtract(ws_all, flat)
         out = FrameOutputs(
             detections=det,

@@ -159,8 +159,11 @@ class PipelineDriver:
                 if next_fetch < num_frames:
                     in_flight.append(uploader.submit(fetch, next_fetch))
                     next_fetch += 1
-            with self.log.span("Depth Retrieval"):
-                pass  # retrieval is fused with the prefetched upload above
+            # NOTE: no "Depth Retrieval" span here — depth arrives fused
+            # with the RGB packet above, so the stage has no separate cost;
+            # the CSV row is simply absent rather than a misleading zero
+            # (the reference times it separately because pyzed retrieves
+            # image and measure in two calls, `vision_pipeline_utils.py:218`).
             if bad:
                 skipped += 1
                 continue

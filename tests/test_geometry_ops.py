@@ -143,6 +143,63 @@ def test_sor_matches_oracle(rng):
     assert not keep[: len(pts)][far].any()
 
 
+def test_sor_windowed_exact_on_small_cloud(rng):
+    """With the window spanning the whole cloud, the Morton-window SOR is
+    the exact algorithm (every point sees every candidate)."""
+    from rt3d.geometry.sor import sor_inlier_mask_windowed
+
+    cluster = rng.normal(0, 0.02, (100, 3)).astype(np.float32)
+    outliers = rng.normal(0, 1.0, (5, 3)).astype(np.float32) + 2.0
+    pts = np.vstack([cluster, outliers])[rng.permutation(105)]
+    padded = np.vstack([pts, np.zeros((23, 3), np.float32)])
+    valid = np.zeros(len(padded), bool)
+    valid[:105] = True
+
+    keep = np.asarray(sor_inlier_mask_windowed(
+        jnp.asarray(padded), jnp.asarray(valid), 20, 1.5, window=128
+    ))
+    expect = oracles.sor_oracle(pts, 20, 1.5)
+    np.testing.assert_array_equal(keep[:105], expect)
+    assert not keep[105:].any()
+
+
+def test_sor_windowed_agreement_at_scale(rng):
+    """Workspace-scale agreement: a voxel-grid surface cloud (the real
+    distribution after downsampling) + scattered far outliers. The window
+    approximation may only err toward removing borderline inliers; it must
+    agree with exact SOR on >=99% of points and reject every far outlier."""
+    from rt3d.geometry.sor import sor_inlier_mask_windowed
+
+    # two planar "table + wall" surfaces on a 5 mm grid, like a real
+    # workspace cloud after voxel downsampling
+    g = 0.005
+    xs, ys = np.meshgrid(np.arange(48), np.arange(40))
+    table = np.stack([xs.ravel() * g, ys.ravel() * g,
+                      np.zeros(xs.size)], 1)
+    wall = np.stack([xs.ravel() * g, np.zeros(xs.size),
+                     ys.ravel() * g + 0.02], 1)
+    surf = np.vstack([table, wall]).astype(np.float32)
+    surf += rng.normal(0, 5e-4, surf.shape).astype(np.float32)
+    outliers = rng.uniform(0.5, 1.5, (40, 3)).astype(np.float32)
+    pts = np.vstack([surf, outliers])[rng.permutation(len(surf) + 40)]
+    n = len(pts)
+    padded = np.vstack([pts, np.zeros((4096 - n % 4096 if n % 4096 else 0, 3),
+                                      np.float32)])
+    valid = np.zeros(len(padded), bool)
+    valid[:n] = True
+
+    keep = np.asarray(sor_inlier_mask_windowed(
+        jnp.asarray(padded), jnp.asarray(valid), 20, 1.5, window=64
+    ))[:n]
+    expect = oracles.sor_oracle(pts, 20, 1.5)
+    far = np.linalg.norm(pts - pts.mean(0), axis=1) > 0.4
+    assert not keep[far].any(), "far outliers must be rejected"
+    agreement = (keep == expect).mean()
+    assert agreement >= 0.99, f"windowed/exact agreement {agreement:.4f}"
+    # one-sided error: never keep what exact SOR rejects
+    assert not (keep & ~expect).any()
+
+
 def test_subtract_matches_oracle(rng):
     ws = rng.uniform(-0.5, 0.5, (600, 3)).astype(np.float32)
     obj = ws[100:160] + rng.normal(0, 0.002, (60, 3)).astype(np.float32)
