@@ -45,11 +45,16 @@ def main() -> int:
         params = {k: jax.numpy.asarray(v) for k, v in load_params(cfg.model.weights).items()}
 
     # synthetic HD720 2-cam sequence with one moving object (the baseline's
-    # 1-object configuration). Frames are pre-rendered AND pre-staged on
-    # device: this box reaches the TPU through a network relay whose
-    # ~25 ms/transfer round-trip latency is an artifact of the dev tunnel —
-    # a real v5e host DMAs the 13 MB frame pair in ~1.5 ms, fully hidden by
-    # the driver's upload prefetch thread. Compute throughput is the metric.
+    # 1-object configuration). Frames are pre-rendered on the host and
+    # pre-staged on device by default. Why staged: this box reaches the TPU
+    # through a dev-tunnel relay in which host->device transfers run at
+    # ~2 GB/s in a fresh process but degrade PERMANENTLY to ~15-30 MB/s
+    # (200-500 ms per 5 MB buffer) after the first real jit executes —
+    # measured 2026-08-16; the 13 MB frame pair then costs ~10x the whole
+    # device step, swamping the metric with a relay artifact no real v5e
+    # host has (real hosts DMA this in ~1.5 ms, hidden by the driver's
+    # prefetch thread). RT3D_BENCH_HOST_PATH=1 exercises the true
+    # host->device prefetch path anyway, for runs on healthy hosts.
     import jax.numpy as jnp
 
     src = SyntheticSource(num_cameras=2, num_frames=16, hw=(720, 1280),
@@ -61,14 +66,16 @@ def main() -> int:
     cfg = with_cameras(cfg, src.cameras())
     pipe = build_pipeline(cfg)
     packets = [src.get(i) for i in range(16)]
+    if not os.environ.get("RT3D_BENCH_HOST_PATH"):
+        packets = [
+            type(p)(rgb=jnp.asarray(p.rgb), depth=jnp.asarray(p.depth),
+                    status=p.status, index=p.index)
+            for p in packets
+        ]
 
     class Pre:
         def __init__(self):
-            self.frames = [
-                type(p)(rgb=jnp.asarray(p.rgb), depth=jnp.asarray(p.depth),
-                        status=p.status, index=p.index)
-                for p in packets
-            ]
+            self.frames = packets
 
         def get(self, i):
             return self.frames[i % len(self.frames)]

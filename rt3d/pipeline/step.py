@@ -40,6 +40,7 @@ from rt3d.geometry.ops import (
     backproject_depth_grid,
     rigid_transform,
     voxel_downsample,
+    voxel_downsample_grid,
     voxel_downsample_masks,
 )
 from rt3d.geometry.sor import sor_inlier_mask_windowed
@@ -311,6 +312,7 @@ class Pipeline:
                 bound_m=p.dedupe_bound_m,
                 stage1_capacity=p.mask_presort_capacity,
                 union_capacity=p.max_union_voxels,
+                grid_hw=pts_c.shape[:2],
             )
             objs = ObjectSet(
                 points=buf.points,
@@ -337,10 +339,13 @@ class Pipeline:
         s = p.workspace_stride
 
         def finish(pts, valid):
+            # pts/valid keep the (H, W) image-grid shape: the grid dedupe
+            # exploits image-space voxel locality to skip the second
+            # full-width compaction sort (see voxel_downsample_grid)
             valid = valid & aabb_mask(
                 pts, p.workspace_x_bounds, p.workspace_y_bounds, p.workspace_z_bounds
             )
-            return voxel_downsample(
+            return voxel_downsample_grid(
                 pts, valid, p.voxel_size, p.max_points_workspace,
                 bound_m=p.dedupe_bound_m,
             )
@@ -349,8 +354,7 @@ class Pipeline:
             pts_all, valid_all = dense
 
             def one_d(pts_c, valid_c):
-                return finish(pts_c[::s, ::s].reshape(-1, 3),
-                              valid_c[::s, ::s].reshape(-1))
+                return finish(pts_c[::s, ::s], valid_c[::s, ::s])
 
             return jax.vmap(one_d)(pts_all, valid_all)
 
@@ -359,8 +363,8 @@ class Pipeline:
         def one(depth_c, fx, fy, cx, cy, R, t):
             d = depth_c[::s, ::s]
             xyz, valid = backproject_depth_grid(d, fx / s, fy / s, cx / s, cy / s)
-            pts = rigid_transform(xyz.reshape(-1, 3), R, t)
-            return finish(pts, valid.reshape(-1))
+            pts = rigid_transform(xyz, R, t)
+            return finish(pts, valid)
 
         return jax.vmap(one)(
             depth, calib.fx, calib.fy, calib.cx, calib.cy,

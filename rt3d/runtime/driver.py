@@ -152,6 +152,7 @@ class PipelineDriver:
         out = None
         skipped = 0
         pending = deque()
+        t_measure = None  # wall-clock start of the post-warmup window
         for i in range(num_frames):
             t0 = time.perf_counter()
             with self.log.span("Frame Retrieval"):
@@ -187,18 +188,27 @@ class PipelineDriver:
             total = time.perf_counter() - t0
             self.log.end_iteration(total)
             if i >= warmup:
+                if t_measure is None:
+                    t_measure = t0
                 fps_hist.append(1.0 / max(total, 1e-9))
+        # drain the pipeline INSIDE the measured window — in-flight frames
+        # are not done yet and deep pipelining must not get credit for them
         for j, out_j in pending:
             jax.block_until_ready((out_j.workspace.valid, out_j.objects_flat.points))
             if on_frame is not None:
                 on_frame(j, out_j)
+        elapsed = time.perf_counter() - t_measure if t_measure is not None else 0.0
         uploader.shutdown(wait=False)
         self.skipped_frames = skipped
         self.log.write_timings()
+        # mean_fps is wall-clock throughput (frames / elapsed): an arithmetic
+        # mean of per-frame 1/dt would overweight the cheap dispatch-only
+        # iterations that pipelined execution produces in bursts.
+        measured = len(fps_hist)
         fps_arr = np.asarray(fps_hist) if fps_hist else np.asarray([0.0])
         return DriverResult(
             frames=num_frames,
-            mean_fps=float(fps_arr.mean()),
+            mean_fps=float(measured / elapsed) if elapsed > 0 else 0.0,
             median_fps=float(np.median(fps_arr)),
             max_fps=float(fps_arr.max()),
             summary_ms=self.log.summary_ms(),

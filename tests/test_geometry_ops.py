@@ -113,6 +113,82 @@ def test_voxel_downsample_masks_shared_sort(rng):
         np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-7)
 
 
+def test_voxel_downsample_grid_matches_flat(rng):
+    """The grid fast path must produce exactly the flat path's unique set,
+    including when duplicates land FAR apart in the image (outside any
+    window): exactness may not depend on the locality heuristic."""
+    from rt3d.geometry.ops import voxel_downsample_grid
+
+    h, w = 24, 40
+    voxel = 0.05
+    # adversarial: a tiny value pool guarantees many duplicates at arbitrary
+    # image distances, plus smooth regions for in-window duplicates
+    pts = rng.choice(np.arange(-6, 7) * voxel, size=(h, w, 3)).astype(np.float32)
+    pts[8:16, 8:16] = rng.normal(0, 0.01, (8, 8, 3)).astype(np.float32)
+    valid = rng.uniform(size=(h, w)) < 0.8
+
+    # capacity >= grid size: exactness must hold for ANY duplicate layout
+    # (under capacity PRESSURE the grid path may drop more than the flat
+    # path — straggler duplicates waste pre-truncation slots — but always
+    # counts the difference in overflow; that case is exercised in
+    # test_voxel_downsample_grid_overflow_counts)
+    cap = h * w + 64  # also exercises the pad-to-capacity branch
+    got, ovf = voxel_downsample_grid(
+        jnp.asarray(pts), jnp.asarray(valid), voxel, cap
+    )
+    want, ovf2 = voxel_downsample(
+        jnp.asarray(pts.reshape(-1, 3)), jnp.asarray(valid.reshape(-1)),
+        voxel, cap,
+    )
+    g = np.asarray(got.points)[np.asarray(got.valid)]
+    e = np.asarray(want.points)[np.asarray(want.valid)]
+    np.testing.assert_allclose(g, e, atol=1e-7)
+    assert int(ovf) == int(ovf2) == 0
+
+
+def test_voxel_downsample_grid_overflow_counts(rng):
+    from rt3d.geometry.ops import voxel_downsample_grid
+
+    h, w = 16, 16
+    voxel = 0.01
+    # every point unique -> 256 voxels, capacity 64
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    pts = np.stack([xs * 0.02, ys * 0.02, np.zeros_like(xs)], -1).astype(np.float32)
+    got, ovf = voxel_downsample_grid(
+        jnp.asarray(pts), jnp.ones((h, w), bool), voxel, 64
+    )
+    assert int(np.asarray(got.valid).sum()) == 64
+    assert int(ovf) == 256 - 64
+
+
+def test_voxel_masks_grid_matches_flat(rng):
+    """Grid-accelerated masked dedupe == flat masked dedupe, with scattered
+    far-apart duplicates (window misses must be OR-merged post-sort)."""
+    h, w, d = 16, 32, 5
+    voxel = 0.05
+    pts = rng.choice(np.arange(-5, 6) * voxel, size=(h * w, 3)).astype(np.float32)
+    valid = rng.uniform(size=h * w) < 0.9
+    masks = rng.uniform(size=(d, h * w)) < 0.3
+
+    cap = 128
+    a, ovf_a = voxel_downsample_masks(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(masks), voxel, cap,
+        stage1_capacity=h * w, union_capacity=h * w, grid_hw=(h, w),
+    )
+    b, ovf_b = voxel_downsample_masks(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(masks), voxel, cap,
+        stage1_capacity=h * w, union_capacity=h * w,
+    )
+    for i in range(d):
+        ga = np.asarray(a.points[i])[np.asarray(a.valid[i])]
+        gb = np.asarray(b.points[i])[np.asarray(b.valid[i])]
+        np.testing.assert_allclose(ga, gb, atol=1e-7, err_msg=f"det {i}")
+        expect = oracles.voxel_downsample_oracle(
+            pts.reshape(-1, 3)[masks[i] & valid], voxel
+        )[:cap]  # lex order; capacity drops the lex-last voxels
+        np.testing.assert_allclose(ga, expect, atol=1e-7)
+
+
 def test_masked_centroid(rng):
     pts = rng.normal(size=(32, 3)).astype(np.float32)
     valid = rng.uniform(size=32) < 0.7
