@@ -27,7 +27,7 @@ def main() -> int:
     from rt3d.runtime.driver import PipelineDriver
 
     variant = os.environ.get("RT3D_BENCH_VARIANT", "x")
-    frames = int(os.environ.get("RT3D_BENCH_FRAMES", "60"))
+    frames = int(os.environ.get("RT3D_BENCH_FRAMES", "160"))
 
     cfg = reference_2cam_config()
     if variant != cfg.model.variant:
@@ -85,8 +85,16 @@ def main() -> int:
     # latency, which real TPU hosts don't have; adds 2 frames of latency,
     # exactly like any capture system's in-flight queue.
     depth = int(os.environ.get("RT3D_BENCH_DEPTH", "3"))
-    driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=depth)
-    res = driver.run(Pre(), num_frames=frames, warmup=5)
+    # scan>1 = throughput mode: K frames per dispatch (lax.scan over the
+    # step), amortizing the relay's per-call overhead K ways. Adds K-1
+    # frames of latency, like any in-flight queue; device work per frame is
+    # identical (tools/trace_fused.py measures it).
+    scan = int(os.environ.get("RT3D_BENCH_SCAN", "4"))
+    driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=depth,
+                            frames_per_dispatch=scan)
+    # the first few post-compile executions run slow on the relay; keep
+    # them out of the measured window (warmup is in frames)
+    res = driver.run(Pre(), num_frames=frames, warmup=max(5, 6 * scan))
 
     result = {
         "metric": f"e2e_fps_2cam_5mm_yolo11{variant}_tpu_v5e",

@@ -443,6 +443,40 @@ class Pipeline:
         return state, out
 
 
+    def step_scan(
+        self,
+        params,
+        state: PipelineState,
+        rgb: jax.Array,    # (K, C, H, W, 3) uint8 BGR
+        depth: jax.Array,  # (K, C, H, W) f32
+        calib: CameraCalib,
+        good: jax.Array,   # (K,) bool — False frames are skipped
+    ) -> Tuple[PipelineState, FrameOutputs]:
+        """Throughput mode: K frames per dispatch via `lax.scan`.
+
+        The reference's loop is strictly frame-at-a-time (camera-rate
+        bound, `2cams.py:165`); on a recorded replay the dispatch overhead
+        of one call per frame dominates once the device step is fast, so
+        this amortizes it K ways at the cost of K-1 frames of output
+        latency — the same tradeoff as the driver's `pipeline_depth`, but
+        for host->device call overhead instead of device occupancy.
+
+        Frames with ``good=False`` neither update the tracker state nor
+        count as outputs (the caller masks them), matching the reference's
+        error-code `continue` (`2cams.py:174-176`).
+        """
+
+        def body(st, xs):
+            r, d, g = xs
+            new_st, out = self.step(params, st, r, d, calib)
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(g, a, b), new_st, st
+            )
+            return st2, out
+
+        return jax.lax.scan(body, state, (rgb, depth, good))
+
+
 def build_pipeline(cfg: Optional[Config] = None) -> Pipeline:
     cfg = cfg or Config()
     model = YoloSeg(

@@ -46,13 +46,22 @@ class PipelineDriver:
         timings_path: Optional[str] = None,
         donate_state: bool = True,
         pipeline_depth: int = 1,
+        frames_per_dispatch: int = 1,
     ):
         # pipeline_depth > 1 overlaps host dispatch with device compute
         # (classic double-buffering: block on frame i-(depth-1) while frame
         # i runs). Adds depth-1 frames of latency; raises throughput by
         # hiding the per-dispatch tunnel cost. depth=1 == reference
         # semantics (full sync per frame).
+        #
+        # frames_per_dispatch > 1 (throughput mode) runs K frames per jitted
+        # call via `Pipeline.step_scan`, amortizing per-call host overhead K
+        # ways at K-1 extra frames of latency. Only meaningful on recorded
+        # replays — a live camera delivers one frame at a time.
         self.pipeline_depth = max(1, pipeline_depth)
+        self.frames_per_dispatch = max(1, frames_per_dispatch)
+        if self.frames_per_dispatch > 1 and mode != "fused":
+            raise ValueError("frames_per_dispatch requires mode='fused'")
         self.pipeline = pipeline
         self.params = params
         self.mode = mode
@@ -65,6 +74,10 @@ class PipelineDriver:
             self._step = jax.jit(
                 p.step, donate_argnums=(1,) if donate_state else ()
             )
+            if self.frames_per_dispatch > 1:
+                self._step_scan = jax.jit(
+                    p.step_scan, donate_argnums=(1,) if donate_state else ()
+                )
         elif mode == "profile":
             self._preprocess = jax.jit(p.preprocess)
             self._detect = jax.jit(p.detect)
@@ -124,6 +137,10 @@ class PipelineDriver:
         on_frame: Optional[Callable[[int, FrameOutputs], None]] = None,
         fetch_outputs: bool = True,
     ) -> DriverResult:
+        if self.frames_per_dispatch > 1:
+            return self._run_scan_loop(
+                source, num_frames, warmup, on_frame, fetch_outputs
+            )
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
@@ -213,5 +230,119 @@ class PipelineDriver:
             max_fps=float(fps_arr.max()),
             summary_ms=self.log.summary_ms(),
             last_outputs=out,
+            skipped_frames=skipped,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _run_scan_loop(
+        self,
+        source,
+        num_frames: int,
+        warmup: int,
+        on_frame: Optional[Callable[[int, FrameOutputs], None]],
+        fetch_outputs: bool,
+    ) -> DriverResult:
+        """Throughput-mode loop: K frames per jitted dispatch
+        (`Pipeline.step_scan`), chunks pipelined `pipeline_depth` deep."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        k = self.frames_per_dispatch
+        uploader = ThreadPoolExecutor(max_workers=1)
+
+        def fetch_chunk(start):
+            rgbs, depths, goods = [], [], []
+            for j in range(start, min(start + k, num_frames)):
+                pkt = source.get(j)
+                rgbs.append(pkt.rgb)
+                depths.append(pkt.depth)
+                goods.append(not bool(np.asarray(pkt.status).any()))
+            while len(rgbs) < k:  # short tail: pad, padding never counts
+                rgbs.append(rgbs[-1])
+                depths.append(depths[-1])
+                goods.append(False)
+            return (
+                jnp.stack([jnp.asarray(r) for r in rgbs]),
+                jnp.stack([jnp.asarray(d) for d in depths]),
+                jnp.asarray(goods),
+                int(np.sum(goods)),
+            )
+
+        starts = list(range(0, num_frames, k))
+        ahead = max(self.pipeline_depth, 1)
+        in_flight = deque(
+            uploader.submit(fetch_chunk, s) for s in starts[:ahead]
+        )
+        next_chunk = len(in_flight)
+
+        out = None
+        skipped = 0
+        pending = deque()
+        t_measure = None
+        measured = 0
+        chunk_times = []
+
+        def drain_one():
+            s0, out_j = pending.popleft()
+            jax.block_until_ready(
+                (out_j.workspace.valid, out_j.objects_flat.points)
+            )
+            if on_frame is not None:
+                for j in range(k):
+                    if s0 + j < num_frames:
+                        on_frame(
+                            s0 + j,
+                            jax.tree_util.tree_map(lambda x: x[j], out_j),
+                        )
+            return out_j
+
+        for ci, s in enumerate(starts):
+            t0 = time.perf_counter()
+            with self.log.span("Frame Retrieval"):
+                rgb, depth, good, ngood = in_flight.popleft().result()
+                if next_chunk < len(starts):
+                    in_flight.append(
+                        uploader.submit(fetch_chunk, starts[next_chunk])
+                    )
+                    next_chunk += 1
+            skipped += min(k, num_frames - s) - ngood
+            self.state, out_k = self._step_scan(
+                self.params, self.state, rgb, depth, self.calib, good
+            )
+            if fetch_outputs:
+                pending.append((s, out_k))
+                if len(pending) >= self.pipeline_depth:
+                    out = drain_one()
+            total = time.perf_counter() - t0
+            for _ in range(ngood):
+                self.log.end_iteration(total / max(ngood, 1))
+            if s >= warmup:
+                if t_measure is None:
+                    t_measure = t0
+                measured += ngood
+                chunk_times.append(total)
+        while pending:
+            out = drain_one()
+        elapsed = (
+            time.perf_counter() - t_measure if t_measure is not None else 0.0
+        )
+        uploader.shutdown(wait=False)
+        self.skipped_frames = skipped
+        self.log.write_timings()
+        per_frame = (
+            np.asarray(chunk_times) / k if chunk_times else np.asarray([1.0])
+        )
+        last = (
+            jax.tree_util.tree_map(lambda x: x[-1], out)
+            if out is not None else None
+        )
+        return DriverResult(
+            frames=num_frames,
+            mean_fps=float(measured / elapsed) if elapsed > 0 else 0.0,
+            median_fps=float(1.0 / np.median(per_frame)),
+            max_fps=float(1.0 / per_frame.min()),
+            summary_ms=self.log.summary_ms(),
+            last_outputs=last,
             skipped_frames=skipped,
         )

@@ -104,3 +104,57 @@ def test_pipeline_determinism(pipe_and_params):
                                   np.asarray(out2.workspace.valid))
     np.testing.assert_array_equal(np.asarray(out1.objects_flat.points),
                                   np.asarray(out2.objects_flat.points))
+
+
+def test_step_scan_matches_sequential_steps(pipe_and_params):
+    """Throughput mode (`Pipeline.step_scan`) must be bit-identical to the
+    frame-at-a-time loop, including skip semantics for bad-status frames."""
+    pipe, params = pipe_and_params
+    src = SyntheticSource(num_cameras=2, num_frames=3, hw=(H, W))
+    calib = CameraCalib.from_config(pipe.cfg)
+    pkts = [src.get(i) for i in range(3)]
+    rgb = jnp.stack([jnp.asarray(p.rgb) for p in pkts])
+    depth = jnp.stack([jnp.asarray(p.depth) for p in pkts])
+    good = jnp.asarray([True, False, True])  # frame 1 is a bad-status skip
+
+    scan = jax.jit(pipe.step_scan)
+    st_scan, outs = scan(params, pipe.init_state(), rgb, depth, calib, good)
+
+    step = jax.jit(pipe.step)
+    st = pipe.init_state()
+    seq = []
+    for i, p in enumerate(pkts):
+        new_st, out = step(params, st, jnp.asarray(p.rgb),
+                           jnp.asarray(p.depth), calib)
+        seq.append(out)
+        if bool(good[i]):  # the reference `continue`s on bad frames
+            st = new_st
+
+    for i in (0, 2):  # good frames: identical outputs
+        np.testing.assert_array_equal(
+            np.asarray(outs.workspace.valid[i]),
+            np.asarray(seq[i].workspace.valid))
+        np.testing.assert_array_equal(
+            np.asarray(outs.objects_flat.points[i]),
+            np.asarray(seq[i].objects_flat.points))
+        np.testing.assert_array_equal(
+            np.asarray(outs.track_ids[i]), np.asarray(seq[i].track_ids))
+    # tracker state advanced exactly twice (bad frame did not update it)
+    assert int(st_scan.tracker.frame_id[0]) == int(st.tracker.frame_id[0]) == 2
+
+
+def test_driver_scan_mode_runs(pipe_and_params):
+    """PipelineDriver(frames_per_dispatch=2) over 5 frames (odd tail)."""
+    from rt3d.runtime.driver import PipelineDriver
+
+    pipe, params = pipe_and_params
+    src = SyntheticSource(num_cameras=2, num_frames=5, hw=(H, W))
+    seen = []
+    driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=2,
+                            frames_per_dispatch=2)
+    res = driver.run(src, num_frames=5, warmup=0,
+                     on_frame=lambda i, o: seen.append(i))
+    assert seen == [0, 1, 2, 3, 4]
+    assert res.mean_fps > 0
+    assert res.skipped_frames == 0
+    assert int(driver.state.tracker.frame_id[0]) == 5
