@@ -1,6 +1,6 @@
 # rt3d build + test entry points
 
-.PHONY: native test test-fast bench demo clean
+.PHONY: native test test-fast bench demo e2e clean
 
 native:
 	g++ -O2 -shared -fPIC -o native/librt3d_replayer.so native/replayer.cpp -lpthread
@@ -23,6 +23,20 @@ bench:
 
 demo:
 	PYTHONPATH=.:$$PYTHONPATH python tools/demo_geometry.py
+
+# the L4 loop end to end on the device backend: record a synthetic HD720
+# sequence -> replay it through the C++ mmap replayer into the full
+# pipeline (CSV logs in runs_e2e/) -> compare against the reference's own
+# RTX-4090 logs. Tiny-scale CPU twin: tests/test_e2e_replay.py.
+e2e:
+	PYTHONPATH=.:$$PYTHONPATH python -m rt3d.apps.record /tmp/rt3d_e2e.rts --frames 48
+	PYTHONPATH=.:$$PYTHONPATH python -m rt3d.apps.two_cam \
+	  --source /tmp/rt3d_e2e.rts --frames 144 --variant n --log-dir runs_e2e \
+	  --scan 4 --pipeline-depth 3 --warmup 24
+	PYTHONPATH=.:$$PYTHONPATH python -m rt3d.bench.compare --ours runs_e2e --drop-warmup 24
+	@echo "NOTE: through the dev tunnel, host->device upload of the 13 MB"
+	@echo "frame pair dominates (~160 ms/frame vs ~1.5 ms on a real host's"
+	@echo "PCIe DMA). bench.py measures the compute path with frames staged."
 
 clean:
 	rm -f native/*.so

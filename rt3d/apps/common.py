@@ -23,6 +23,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mode", default="fused", choices=["fused", "profile"])
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="frames in flight (1 = fully synchronous)")
+    p.add_argument("--scan", type=int, default=1,
+                   help="frames per dispatch (throughput mode; adds "
+                        "scan-1 frames of latency)")
+    p.add_argument("--warmup", type=int, default=5,
+                   help="frames excluded from the measured FPS window")
     p.add_argument("--log-dir", default="runs")
     p.add_argument("--save-ply", action="store_true",
                    help="dump workspace/object clouds as PLY every 30 frames")

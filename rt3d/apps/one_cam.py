@@ -35,6 +35,7 @@ def main() -> int:
     os.makedirs(args.log_dir, exist_ok=True)
     driver = PipelineDriver(
         pipe, params, mode=args.mode, pipeline_depth=args.pipeline_depth,
+        frames_per_dispatch=args.scan,
         fps_log_path=os.path.join(args.log_dir, "fps_log.csv"),
         timings_path=os.path.join(args.log_dir, "timings.csv"),
     )
@@ -55,7 +56,7 @@ def main() -> int:
             sub = cloud[keep] if keep.any() else cloud
             save_ply(os.path.join(args.log_dir, f"objects_{i:05d}.ply"), sub)
 
-    res = driver.run(src, num_frames=args.frames,
+    res = driver.run(src, num_frames=args.frames, warmup=args.warmup,
                      on_frame=on_frame if args.save_ply else None)
     print(f"frames={res.frames} mean_fps={res.mean_fps:.2f} "
           f"median={res.median_fps:.2f} max={res.max_fps:.2f}")

@@ -54,10 +54,15 @@ def compare_runs(
     reference_dir: Optional[str] = None,
     ours_name: str = "rt3d (TPU v5e)",
     ref_name: str = "reference (RTX 4090)",
+    drop_warmup: int = 1,
 ) -> str:
-    """Formatted comparison table. Missing files degrade to blank columns."""
+    """Formatted comparison table. Missing files degrade to blank columns.
+
+    ``drop_warmup`` frames are dropped from OUR logs only (jit compilation
+    lands in the first frames; the reference loads its model before its
+    loop, so its warmup is its frame 1)."""
     ref_dir = reference_dir or REFERENCE_LOG_DIR
-    ours = load_run_summary(ours_dir, ours_name)
+    ours = load_run_summary(ours_dir, ours_name, drop_warmup=drop_warmup)
     ref = load_run_summary(ref_dir, ref_name)
 
     rows = []
@@ -96,8 +101,10 @@ def main() -> int:
     p.add_argument("--ours", default="runs", help="rt3d run log dir")
     p.add_argument("--reference", default=None,
                    help=f"reference log dir (default {REFERENCE_LOG_DIR})")
+    p.add_argument("--drop-warmup", type=int, default=1,
+                   help="frames dropped from OUR logs (compile ramp)")
     args = p.parse_args()
-    print(compare_runs(args.ours, args.reference))
+    print(compare_runs(args.ours, args.reference, drop_warmup=args.drop_warmup))
     return 0
 
 
