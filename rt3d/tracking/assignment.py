@@ -158,9 +158,117 @@ def solve_matching_greedy(
     return col_of_row, row_of_col
 
 
+def _refine_matching(
+    cost: jax.Array, thresh: float,
+    col_of_row: jax.Array, row_of_col: jax.Array,
+    rounds: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fixed rounds of vectorized local improvement over a matching:
+
+    each round applies the single best of
+      * SWAP: matched rows (i, k) exchange their columns when that lowers
+        total cost (fixes the classic greedy failure: i stole k's only
+        good column),
+      * MOVE: a matched or unmatched row takes a FREE feasible column
+        when that lowers its cost / extends the matching.
+
+    Every round is O(n^2) dense VPU work (one argmin each) — no
+    data-dependent loop lengths, so TPU latency stays flat. With
+    near-binary tracking IoU costs a few rounds reach the exact optimum
+    in practice (measured in tests/test_assignment_modes.py).
+    """
+    r, c = cost.shape
+    big = jnp.float32(1e9)
+    cm = jnp.where(cost < thresh, cost.astype(jnp.float32), big)
+    rows = jnp.arange(r)
+    cols = jnp.arange(c)
+
+    def cost_of(i, j):
+        # cost of row i matched to col j, 0 when unmatched (j < 0)
+        return jnp.where(j >= 0, cm[i, jnp.clip(j, 0, c - 1)], 0.0)
+
+    def best_swap(state):
+        col_of_row, row_of_col = state
+        mcol = jnp.clip(col_of_row, 0, c - 1)
+        matched = col_of_row >= 0
+        cur = jnp.where(matched, cm[rows, mcol], 0.0)  # (r,)
+        # SWAP: delta[i, k] = cost after exchanging i's and k's columns
+        ci_ck = cm[:, mcol]  # (r, r): ci_ck[i, k] = cm[i, col_of_row[k]]
+        both = matched[:, None] & matched[None, :]
+        swap_delta = jnp.where(
+            both & (rows[:, None] != rows[None, :]),
+            ci_ck + ci_ck.T - cur[:, None] - cur[None, :],
+            0.0,
+        )
+        s_flat = jnp.argmin(swap_delta)
+        si, sk = s_flat // r, s_flat % r
+        do = swap_delta[si, sk] < -1e-7
+        ci, ck = col_of_row[si], col_of_row[sk]
+        col_sw = col_of_row.at[si].set(ck).at[sk].set(ci)
+        row_sw = row_of_col.at[jnp.clip(ci, 0, c - 1)].set(sk)
+        row_sw = row_sw.at[jnp.clip(ck, 0, c - 1)].set(si)
+        return (
+            jnp.where(do, col_sw, col_of_row),
+            jnp.where(do, row_sw, row_of_col),
+        )
+
+    def best_move(state):
+        col_of_row, row_of_col = state
+        mcol = jnp.clip(col_of_row, 0, c - 1)
+        matched = col_of_row >= 0
+        cur = jnp.where(matched, cm[rows, mcol], 0.0)  # (r,)
+        # MOVE: row i -> free feasible column j
+        free = row_of_col < 0  # (c,)
+        move_delta = jnp.where(free[None, :], cm, big) - cur[:, None]
+        # unmatched rows extend the matching: any feasible free column is
+        # a gain (bias below every real improvement)
+        move_delta = jnp.where(
+            matched[:, None], move_delta,
+            jnp.where(free[None, :] & (cm < big), cm - big * 0.5, 0.0),
+        )
+        m_flat = jnp.argmin(move_delta)
+        mi, mj = m_flat // c, m_flat % c
+        do = move_delta[mi, mj] < -1e-7
+        old = col_of_row[mi]
+        row_mv = jnp.where(
+            old >= 0,
+            row_of_col.at[jnp.clip(old, 0, c - 1)].set(-1),
+            row_of_col,
+        ).at[mj].set(mi)
+        col_mv = col_of_row.at[mi].set(mj)
+        return (
+            jnp.where(do, col_mv, col_of_row),
+            jnp.where(do, row_mv, row_of_col),
+        )
+
+    def body(_, state):
+        # one swap then one move per round: the swap repairs pairwise
+        # misassignments, the move then extends/retargets into columns the
+        # swap freed — together they emulate length-2/3 augmenting paths
+        return best_move(best_swap(state))
+
+    col_of_row, row_of_col = jax.lax.fori_loop(
+        0, rounds, body, (col_of_row, row_of_col)
+    )
+    return col_of_row.astype(jnp.int32), row_of_col.astype(jnp.int32)
+
+
+def solve_matching_refined(
+    cost: jax.Array, thresh: float, rounds: int | None = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy + local refinement: near-exact matching at vector latency."""
+    col_of_row, row_of_col = solve_matching_greedy(cost, thresh)
+    r, c = cost.shape
+    if rounds is None:
+        rounds = min(r, c)
+    return _refine_matching(cost, thresh, col_of_row, row_of_col, rounds)
+
+
 def solve_matching(
     cost: jax.Array, thresh: float, method: str = "greedy"
 ) -> Tuple[jax.Array, jax.Array]:
     if method == "exact":
         return solve_matching_exact(cost, thresh)
-    return solve_matching_greedy(cost, thresh)
+    if method == "greedy":
+        return solve_matching_greedy(cost, thresh)
+    return solve_matching_refined(cost, thresh)
