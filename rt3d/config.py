@@ -153,7 +153,11 @@ class TrackerConfig:
     proximity_thresh: float = 0.5
     appearance_thresh: float = 0.25
     emb_dim: int = 64          # pooled-neck appearance feature width
-    gmc: bool = False          # camera-motion compensation (phase corr.)
+    gmc: bool = False          # camera-motion compensation on/off
+    # 'affine' = grid phase correlation + robust LSQ fit (the TPU-native
+    # equivalent of botsort.yaml's sparseOptFlow+RANSAC); 'translation' =
+    # single full-frame phase correlation
+    gmc_method: str = "affine"
 
 
 # ---------------------------------------------------------------------------

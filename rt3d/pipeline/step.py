@@ -221,16 +221,32 @@ class Pipeline:
         prev_gray = state.prev_gray
 
         if self._use_gmc and images is not None:
-            from rt3d.tracking.botsort import estimate_translation_gmc
+            from rt3d.tracking.botsort import (
+                estimate_affine_gmc,
+                estimate_translation_gmc,
+                rescale_warp,
+                translation_warp,
+            )
 
             gh, gw = self._gray_hw()
             gray = jax.vmap(
                 lambda im: jax.image.resize(im.mean(axis=-1), (gh, gw), "linear")
             )(images.astype(jnp.float32))
-            # estimated shift is at 1/4 input scale and boxes live in
-            # ORIGINAL pixels -> scale by 4 / letterbox ratio
-            scale = 4.0 / self._meta().ratio
-            shifts = jax.vmap(estimate_translation_gmc)(prev_gray, gray) * scale
+            if tcfg.gmc_method == "affine":
+                warps = jax.vmap(estimate_affine_gmc)(prev_gray, gray)
+            else:
+                warps = jax.vmap(
+                    lambda a, b: translation_warp(estimate_translation_gmc(a, b))
+                )(prev_gray, gray)
+            # warps live at 1/4-letterbox scale; boxes in ORIGINAL pixels:
+            # p_small = (ratio/4) * p_orig + pad/4
+            meta = self._meta()
+            shifts = jax.vmap(
+                lambda wp: rescale_warp(
+                    wp, meta.ratio / 4.0,
+                    (meta.pad_left / 4.0, meta.pad_top / 4.0),
+                )
+            )(warps)
             prev_gray = gray
         else:
             shifts = None
@@ -238,7 +254,7 @@ class Pipeline:
         if self._use_reid and det_emb is not None:
             def one(ts, d, e, sh):
                 return bytetrack_step(ts, d, tcfg, frame_rate=fps,
-                                      det_emb=e, gmc_shift=sh)
+                                      det_emb=e, gmc_warp=sh)
 
             if shifts is not None:
                 new_tracker, ids = jax.vmap(one)(state.tracker, det, det_emb, shifts)
@@ -250,7 +266,7 @@ class Pipeline:
         elif shifts is not None:
             new_tracker, ids = jax.vmap(
                 lambda ts, d, sh: bytetrack_step(
-                    ts, d, tcfg, frame_rate=fps, gmc_shift=sh)
+                    ts, d, tcfg, frame_rate=fps, gmc_warp=sh)
             )(state.tracker, det, shifts)
         else:
             new_tracker, ids = jax.vmap(

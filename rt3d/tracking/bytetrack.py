@@ -139,7 +139,7 @@ def bytetrack_step(
     cfg: TrackerConfig,
     frame_rate: int = 30,
     det_emb: jax.Array | None = None,   # (D, E) BoT-SORT appearance feats
-    gmc_shift: jax.Array | None = None,  # (2,) camera-motion dx, dy
+    gmc_warp: jax.Array | None = None,   # (2, 3) camera-motion affine [A|b]
 ) -> Tuple[TrackerState, jax.Array]:
     """Advance the tracker one frame.
 
@@ -148,7 +148,7 @@ def bytetrack_step(
     ultralytics, which only reports activated tracks).
 
     With `det_emb` (and `cfg.with_reid`), the first association fuses
-    appearance cost BoT-SORT-style; with `gmc_shift`, predicted tracks are
+    appearance cost BoT-SORT-style; with `gmc_warp`, predicted tracks are
     motion-compensated before matching (see rt3d/tracking/botsort.py).
     """
     s = ts.mean.shape[0]
@@ -169,10 +169,10 @@ def bytetrack_step(
         jnp.where(ts.state == TRACKED, ts.mean[:, 7], 0.0)
     )
     pmean, pcov = kalman_predict(mean_in, ts.cov)
-    if gmc_shift is not None:
+    if gmc_warp is not None:
         from rt3d.tracking.botsort import apply_gmc_to_tracks
 
-        pmean = apply_gmc_to_tracks(pmean, gmc_shift)
+        pmean = apply_gmc_to_tracks(pmean, gmc_warp)
     ts = ts.replace(
         mean=jnp.where(live[:, None], pmean, ts.mean),
         cov=jnp.where(live[:, None, None], pcov, ts.cov),

@@ -210,3 +210,80 @@ def test_driver_skips_bad_status_frames():
     assert res.skipped_frames == 2
     # tracker only advanced on good frames
     assert int(driver.state.tracker.frame_id[0]) == 4
+
+
+def test_gmc_affine_recovers_similarity(rng):
+    """Affine GMC on synthetic camera shake: a known rotation+scale+shift
+    must come back from the grid-correlation + robust-LSQ fit
+    (the sparseOptFlow+RANSAC parity target, `trackers/botsort.yaml:14`)."""
+    from jax.scipy.ndimage import map_coordinates
+
+    from rt3d.tracking.botsort import estimate_affine_gmc
+
+    from scipy.ndimage import gaussian_filter
+
+    h, w = 96, 160
+    base = gaussian_filter(rng.uniform(0, 1, (h, w)).astype(np.float32), 2)
+
+    # warp maps PREV coords -> CUR coords: small rotation + zoom + shift
+    th, s = 0.02, 1.01
+    A = s * np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+                     np.float32)
+    b = np.array([3.0, -2.0], np.float32)
+    # render cur: cur(x) = prev(A^-1 (x - b)), coords are (x, y)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    pts = np.stack([xs.ravel(), ys.ravel()], axis=0)  # (2, N) as (x, y)
+    src = np.linalg.inv(A) @ (pts - b[:, None])
+    cur = np.asarray(map_coordinates(
+        jnp.asarray(base), [jnp.asarray(src[1].reshape(h, w)),
+                            jnp.asarray(src[0].reshape(h, w))], order=1,
+    ))
+
+    warp = np.asarray(estimate_affine_gmc(jnp.asarray(base), jnp.asarray(cur)))
+    # patch shifts are integer-quantized, so allow ~1px-scale tolerances
+    np.testing.assert_allclose(warp[:, :2], A, atol=0.03)
+    np.testing.assert_allclose(warp[:, 2], b, atol=2.0)
+
+
+def test_gmc_affine_flat_frame_decays_to_identity():
+    from rt3d.tracking.botsort import estimate_affine_gmc
+
+    flat = jnp.zeros((96, 160), jnp.float32)
+    warp = np.asarray(estimate_affine_gmc(flat, flat))
+    np.testing.assert_allclose(warp[:, :2], np.eye(2), atol=1e-3)
+    np.testing.assert_allclose(warp[:, 2], 0.0, atol=1e-3)
+
+
+def test_gmc_rescale_warp_and_apply(rng):
+    """rescale_warp must commute with the coordinate change, and
+    apply_gmc_to_tracks must move centres/heights/velocities correctly."""
+    from rt3d.tracking.botsort import apply_gmc_to_tracks, rescale_warp
+
+    A = np.array([[1.02, -0.03], [0.03, 1.02]], np.float32)
+    b = np.array([1.5, -0.7], np.float32)
+    warp_small = jnp.asarray(np.concatenate([A, b[:, None]], axis=1))
+    scale, off = 0.25, np.array([4.0, 8.0], np.float32)
+
+    warp_big = np.asarray(rescale_warp(warp_small, scale, off))
+    # check on a random original-coordinate point: small = scale*big + off
+    p_big = rng.uniform(0, 100, (2,)).astype(np.float32)
+    p_small = scale * p_big + off
+    q_small = A @ p_small + b
+    q_big_expected = (q_small - off) / scale
+    q_big = warp_big[:, :2] @ p_big + warp_big[:, 2]
+    np.testing.assert_allclose(q_big, q_big_expected, rtol=1e-5, atol=1e-3)
+
+    mean = np.zeros((3, 8), np.float32)
+    mean[:, 0:2] = [[10, 20], [30, 40], [0, 0]]
+    mean[:, 3] = 50.0
+    mean[:, 4:6] = [[1, 0], [0, 1], [2, 2]]
+    mean[:, 7] = 5.0
+    out = np.asarray(apply_gmc_to_tracks(jnp.asarray(mean),
+                                         jnp.asarray(warp_big)))
+    np.testing.assert_allclose(
+        out[0, 0:2], warp_big[:, :2] @ mean[0, 0:2] + warp_big[:, 2],
+        rtol=1e-5)
+    det_scale = np.sqrt(abs(np.linalg.det(warp_big[:, :2])))
+    np.testing.assert_allclose(out[:, 3], 50.0 * det_scale, rtol=1e-5)
+    np.testing.assert_allclose(out[0, 4:6], warp_big[:, :2] @ mean[0, 4:6],
+                               rtol=1e-5)
