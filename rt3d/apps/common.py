@@ -33,6 +33,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="dump workspace/object clouds as PLY every 30 frames")
     p.add_argument("--save-frames", action="store_true",
                    help="write annotated frames as PNGs")
+    p.add_argument("--live", default=None, metavar="SPOOL_DIR",
+                   help="publish latest outputs for `rt3d.apps.viewer`")
 
 
 def load_config(args, num_cameras: Optional[int] = None) -> Config:

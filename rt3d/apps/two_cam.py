@@ -31,6 +31,11 @@ def main() -> int:
     params = load_model_params(pipe, cfg)
 
     os.makedirs(args.log_dir, exist_ok=True)
+    spool = None
+    if args.live:
+        from rt3d.viz.live import LiveSpool
+
+        spool = LiveSpool(args.live, every=5, subsample=0.25)
     driver = PipelineDriver(
         pipe, params, mode=args.mode, pipeline_depth=args.pipeline_depth,
         frames_per_dispatch=args.scan,
@@ -39,6 +44,9 @@ def main() -> int:
     )
 
     def on_frame(i, out):
+        if spool is not None:
+            spool.publish(i, out,
+                          rgb_fn=lambda: np.asarray(src.get(i).rgb))
         if args.save_ply and i % 30 == 0:
             from rt3d.viz.cloud import save_ply
 
@@ -66,8 +74,9 @@ def main() -> int:
             cv2.imwrite(os.path.join(args.log_dir, f"frame_{i:05d}.png"),
                         side_by_side(*frames))
 
+    use_cb = args.save_ply or args.save_frames or spool is not None
     res = driver.run(src, num_frames=args.frames, warmup=args.warmup,
-                     on_frame=on_frame if (args.save_ply or args.save_frames) else None)
+                     on_frame=on_frame if use_cb else None)
     print(f"frames={res.frames} mean_fps={res.mean_fps:.2f} "
           f"median={res.median_fps:.2f} max={res.max_fps:.2f}")
     for k, v in res.summary_ms.items():
