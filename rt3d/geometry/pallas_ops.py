@@ -180,3 +180,138 @@ def sor_knn_mean_pallas(
         ],
     )(q, q)
     return mean[:n, 0], sat[:n, 0] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Windowed voxel pre-dedupe (image-grid locality)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulations (`ops._window_duplicate_mask` / `ops._window_prev_or`)
+# materialize ~58 padded+shifted copies of the (H, W) key grid in HBM — the
+# single biggest elementwise cost of the workspace stage (profiler: 1.6 ms
+# inside fusion.4 at 2x360x640). These kernels stream each row-band through
+# VMEM ONCE and do all window offsets as register-level lane rolls + static
+# sublane slices: HBM traffic drops from ~59x to ~2x the grid size.
+
+
+def _pick_block_rows(h: int, dy_max: int) -> int | None:
+    # SMALL blocks on purpose: the kernel materializes ~58 rolled (br, W)
+    # temporaries; Mosaic allocates them on the VMEM stack, so br=48 at
+    # W=1280 blows the 16 MB scoped limit (measured). br=8 keeps the whole
+    # working set ~2.5 MB at W=1280 and the grid pipeline hides the extra
+    # program count.
+    for br in (8, 16):
+        if h % br == 0 and br >= dy_max:
+            return br
+    return None
+
+
+def _window_offsets(dy_max: int, dx_max: int):
+    for dy in range(dy_max + 1):
+        xs = range(1, dx_max + 1) if dy == 0 else range(-dx_max, dx_max + 1)
+        for dx in xs:
+            yield dy, dx
+
+
+def _window_body(cur, prev_rows, br, w, dy_max, dx_max, visit):
+    """Shared window sweep: calls `visit(eq_mask, dy, dx, shifted_rows_fn)`
+    for every ROW-MAJOR-PRECEDING offset. `cur`/`prev_rows` are (BR, W);
+    neighbor rows for dy>0 splice the previous block's tail (static slices)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (br, w), 1)
+    cache = {}
+    for dy, dx in _window_offsets(dy_max, dx_max):
+        if dy not in cache:
+            cache[dy] = cur if dy == 0 else jnp.concatenate(
+                [prev_rows[br - dy:], cur[: br - dy]], axis=0
+            )
+        nb = cache[dy]
+        sh = pltpu.roll(nb, shift=dx % w, axis=1)
+        eq = cur == sh
+        if dx > 0:
+            eq = eq & (col >= dx)
+        elif dx < 0:
+            eq = eq & (col < w + dx)
+        visit(eq, dy, dx, lambda a, _dx=dx: pltpu.roll(a, shift=_dx % w, axis=1))
+
+
+def _window_dedupe_kernel(ka, kb, out, *, br, w, dy_max, dx_max, sentinel):
+    cur = ka[:]
+    prev_rows = kb[:]
+    dup = [jnp.zeros((br, w), jnp.bool_)]
+
+    def visit(eq, dy, dx, _shift):
+        dup[0] = dup[0] | eq
+
+    _window_body(cur, prev_rows, br, w, dy_max, dx_max, visit)
+    out[:] = jnp.where(dup[0], sentinel, cur)
+
+
+def _window_prev_or_kernel(ka, kb, wa, wb, out, *, br, w, dy_max, dx_max):
+    cur = ka[:]
+    prev_k = kb[:]
+    wcur = wa[:]
+    wprev = wb[:]
+    por = [jnp.zeros((br, w), jnp.int32)]
+    wcache = {}
+
+    def visit(eq, dy, dx, shift):
+        if dy not in wcache:
+            wcache[dy] = wcur if dy == 0 else jnp.concatenate(
+                [wprev[br - dy:], wcur[: br - dy]], axis=0
+            )
+        por[0] = por[0] | jnp.where(eq, shift(wcache[dy]), 0)
+
+    _window_body(cur, prev_k, br, w, dy_max, dx_max, visit)
+    out[:] = por[0]
+
+
+def window_dedupe_pallas(kg: jax.Array, sentinel: int, dy_max: int = 4,
+                         dx_max: int = 6, interpret: bool = False):
+    """Replace every key that equals some row-major-preceding key inside the
+    (dy_max, +-dx_max) window with `sentinel`. Exact match for
+    `where(ops._window_duplicate_mask(kg), sentinel, kg)`.
+    Returns None when the grid shape doesn't fit the kernel layout."""
+    h, w = kg.shape
+    br = _pick_block_rows(h, dy_max)
+    if br is None or w % 128:
+        return None
+    kp = jnp.pad(kg, ((br, 0), (0, 0)), constant_values=sentinel)
+    return pl.pallas_call(
+        functools.partial(_window_dedupe_kernel, br=br, w=w, dy_max=dy_max,
+                          dx_max=dx_max, sentinel=sentinel),
+        grid=(h // br,),
+        in_specs=[
+            pl.BlockSpec((br, w), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=interpret,
+    )(kp, kp)
+
+
+def window_prev_or_pallas(kg: jax.Array, wg: jax.Array, dy_max: int = 4,
+                          dx_max: int = 6, interpret: bool = False):
+    """OR of mask words of row-major-preceding pixels sharing this pixel's
+    voxel key inside the window. Exact match for `ops._window_prev_or`.
+    Returns None when the grid shape doesn't fit the kernel layout."""
+    h, w = kg.shape
+    br = _pick_block_rows(h, dy_max)
+    if br is None or w % 128:
+        return None
+    kp = jnp.pad(kg, ((br, 0), (0, 0)), constant_values=jnp.int32(2**31 - 1))
+    wp = jnp.pad(wg, ((br, 0), (0, 0)))
+    return pl.pallas_call(
+        functools.partial(_window_prev_or_kernel, br=br, w=w, dy_max=dy_max,
+                          dx_max=dx_max),
+        grid=(h // br,),
+        in_specs=[
+            pl.BlockSpec((br, w), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, w), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((br, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=interpret,
+    )(kp, kp, wp, wp)

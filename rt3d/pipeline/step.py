@@ -39,6 +39,7 @@ from rt3d.geometry.ops import (
     aabb_mask,
     backproject_depth_grid,
     rigid_transform,
+    strided_grid_downsample,
     voxel_downsample,
     voxel_downsample_grid,
     voxel_downsample_masks,
@@ -376,14 +377,17 @@ class Pipeline:
 
         # stride FIRST, then backproject with stride-scaled intrinsics
         # (identical math, 1/s^2 of the elementwise+transform work)
+        depth_s = strided_grid_downsample(depth, s)
+
         def one(depth_c, fx, fy, cx, cy, R, t):
-            d = depth_c[::s, ::s]
-            xyz, valid = backproject_depth_grid(d, fx / s, fy / s, cx / s, cy / s)
+            xyz, valid = backproject_depth_grid(
+                depth_c, fx / s, fy / s, cx / s, cy / s
+            )
             pts = rigid_transform(xyz, R, t)
             return finish(pts, valid)
 
         return jax.vmap(one)(
-            depth, calib.fx, calib.fy, calib.cx, calib.cy,
+            depth_s, calib.fx, calib.fy, calib.cx, calib.cy,
             calib.rotation, calib.translation,
         )
 

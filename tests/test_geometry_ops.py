@@ -306,3 +306,53 @@ def test_voxel_ops_jit_and_no_recompile():
     v = jnp.ones((128,), bool)
     f(p, v)
     f(p + 1.0, v)  # same shapes -> cached
+
+
+def test_window_dedupe_pallas_matches_xla(rng):
+    """Interpret-mode proof that the Pallas window kernels match the XLA
+    shifted-compare formulations they replace on TPU."""
+    from rt3d.geometry.ops import (
+        _INT_SENTINEL, _window_duplicate_mask, _window_prev_or,
+    )
+    from rt3d.geometry.pallas_ops import (
+        window_dedupe_pallas, window_prev_or_pallas,
+    )
+
+    h, w = 24, 128
+    # few distinct keys -> dense duplicate structure; sprinkle sentinels
+    kg = rng.integers(0, 40, size=(h, w)).astype(np.int32)
+    kg[rng.uniform(size=(h, w)) < 0.2] = _INT_SENTINEL
+    kg = jnp.asarray(kg)
+    wg = jnp.asarray(rng.integers(0, 2**20, size=(h, w)).astype(np.int32))
+    wg = jnp.where(kg == _INT_SENTINEL, 0, wg)
+
+    for dy, dx in ((4, 6), (2, 3), (0, 1)):
+        got = window_dedupe_pallas(kg, int(_INT_SENTINEL), dy, dx,
+                                   interpret=True)
+        ref = jnp.where(_window_duplicate_mask(kg, dy, dx), _INT_SENTINEL, kg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        got_or = window_prev_or_pallas(kg, wg, dy, dx, interpret=True)
+        ref_or = _window_prev_or(kg, wg, dy, dx)
+        np.testing.assert_array_equal(np.asarray(got_or), np.asarray(ref_or))
+
+
+def test_window_dedupe_pallas_layout_guard():
+    from rt3d.geometry.pallas_ops import window_dedupe_pallas
+
+    # width not a lane multiple -> kernel declines, caller falls back
+    assert window_dedupe_pallas(jnp.zeros((16, 100), jnp.int32), 0) is None
+
+
+def test_strided_grid_downsample_bit_exact(rng):
+    from rt3d.geometry.ops import strided_grid_downsample
+
+    x = jnp.asarray(rng.random((2, 48, 256)).astype(np.float32))
+    for s in (1, 2, 4):
+        got = np.asarray(jax.jit(strided_grid_downsample,
+                                 static_argnums=1)(x, s))
+        np.testing.assert_array_equal(got, np.asarray(x)[:, ::s, ::s])
+    # non-divisible shapes fall back to the plain slice
+    y = x[:, :45, :250]
+    got = np.asarray(strided_grid_downsample(y, 2))
+    np.testing.assert_array_equal(got, np.asarray(y)[:, ::2, ::2])
