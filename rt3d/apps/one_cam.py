@@ -33,6 +33,13 @@ def main() -> int:
     pipe = build_pipeline(cfg)
     params = load_model_params(pipe, cfg)
     os.makedirs(args.log_dir, exist_ok=True)
+    spool = None
+    if args.live:
+        from rt3d.viz.live import LiveSpool
+
+        # every-30 + 5% subsample mirror the reference's scene refresh
+        # cadence (`1cam/rt-tracking.py:189,267-285`)
+        spool = LiveSpool(args.live, every=30, subsample=args.subsample)
     driver = PipelineDriver(
         pipe, params, mode=args.mode, pipeline_depth=args.pipeline_depth,
         frames_per_dispatch=args.scan,
@@ -43,7 +50,10 @@ def main() -> int:
     rng = np.random.default_rng(0)
 
     def on_frame(i, out):
-        if i % 30 != 0:
+        if spool is not None:
+            spool.publish(i, out,
+                          rgb_fn=lambda: np.asarray(src.get(i).rgb))
+        if i % 30 != 0 or not args.save_ply:
             return
         from rt3d.viz.cloud import save_ply
 
@@ -56,8 +66,9 @@ def main() -> int:
             sub = cloud[keep] if keep.any() else cloud
             save_ply(os.path.join(args.log_dir, f"objects_{i:05d}.ply"), sub)
 
+    use_cb = args.save_ply or spool is not None
     res = driver.run(src, num_frames=args.frames, warmup=args.warmup,
-                     on_frame=on_frame if args.save_ply else None)
+                     on_frame=on_frame if use_cb else None)
     print(f"frames={res.frames} mean_fps={res.mean_fps:.2f} "
           f"median={res.median_fps:.2f} max={res.max_fps:.2f}")
     return 0

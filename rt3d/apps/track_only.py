@@ -43,6 +43,12 @@ def main() -> int:
     state = pipe.init_state()
     import time
 
+    spool = None
+    if args.live:
+        from rt3d.viz.live import LiveSpool
+
+        spool = LiveSpool(args.live, every=5)
+
     for i in range(args.frames):
         t0 = time.perf_counter()
         pkt = src.get(i)
@@ -61,17 +67,23 @@ def main() -> int:
                       f"conf={float(det.scores[0][k]):.2f} depth@centre={z:.2f} m")
         if i % 30 == 0:
             print(f"frame {i}: {1.0/max(dt,1e-9):.1f} FPS")
-        if args.save_frames and i % 30 == 0:
-            import cv2
-
+        def make_img():
             from rt3d.viz.draw import annotate_frame
 
-            img = annotate_frame(
+            return annotate_frame(
                 pkt.rgb[0], boxes, np.asarray(det.scores[0]),
                 np.asarray(det.classes[0]), valid, np.asarray(ids[0]),
                 fps=1.0 / max(dt, 1e-9),
             )
-            cv2.imwrite(os.path.join(args.log_dir, f"track_{i:05d}.png"), img)
+
+        if spool is not None:
+            spool.publish_frame(i, panel_fn=make_img,
+                                detections=int(valid.sum()))
+        if args.save_frames and i % 30 == 0:
+            import cv2
+
+            cv2.imwrite(
+                os.path.join(args.log_dir, f"track_{i:05d}.png"), make_img())
     return 0
 
 

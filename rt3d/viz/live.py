@@ -123,6 +123,36 @@ class LiveSpool:
 
         _atomic_replace(os.path.join(self.dir, "status.json"), write_status)
 
+    def publish_frame(self, i: int, panel: Optional[np.ndarray] = None,
+                      panel_fn=None, **extra) -> None:
+        """Frame-only publish for producers without cloud outputs
+        (`rt3d.apps.track_only`). Call EVERY frame (skipped frames pay only
+        the FPS bookkeeping); pass ``panel_fn`` so the annotated frame is
+        only built 1-in-`every` times."""
+        now = time.perf_counter()
+        if self._t_last is not None:
+            dt = max(now - self._t_last, 1e-6)
+            inst = 1.0 / dt
+            self._fps = 0.9 * self._fps + 0.1 * inst if self._fps else inst
+        self._t_last = now
+        if i % self.every:
+            return
+        if panel is None and panel_fn is not None:
+            panel = panel_fn()
+        if panel is not None:
+            self._write_image(panel)
+
+        def write_status(p):
+            with open(p, "w") as f:
+                json.dump({
+                    "frame": int(i),
+                    "fps": round(float(self._fps), 2),
+                    "timestamp": time.time(),
+                    **extra,
+                }, f)
+
+        _atomic_replace(os.path.join(self.dir, "status.json"), write_status)
+
     def _write_image(self, panel: np.ndarray) -> None:
         try:
             import cv2

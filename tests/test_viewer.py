@@ -65,3 +65,25 @@ def test_spool_every_skips_frames(tmp_path):
     for i in (1, 2, 3, 4, 6, 7):
         spool.publish(i, None, rgb=None)
     assert read_status(str(tmp_path)) is None
+
+
+def test_publish_frame_only(tmp_path):
+    """track_only-style producers: frame+status spool without clouds."""
+    spool = LiveSpool(str(tmp_path), every=5)
+    built = []
+
+    def panel_fn():
+        built.append(1)
+        return np.zeros((8, 8, 3), np.uint8)
+
+    for i in range(11):
+        spool.publish_frame(i, panel_fn=panel_fn, detections=3)
+    assert len(built) == 3  # frames 0, 5, 10 only
+    status = read_status(str(tmp_path))
+    assert status["frame"] == 10 and status["detections"] == 3
+    assert os.path.exists(os.path.join(str(tmp_path), "frame.png")) or \
+        os.path.exists(os.path.join(str(tmp_path), "frame.npy"))
+    # viewer copes with a cloud-less spool
+    viewer = ViewerState(str(tmp_path))
+    s = viewer.tick()
+    assert s is not None and s["frame"] == 10
