@@ -21,6 +21,15 @@ def main() -> int:
     import numpy as np
     import jax
 
+    # persistent compile cache: the yolo11x pipeline is a ~5 min compile on
+    # the dev relay; repeat runs of the unchanged program become seconds.
+    # (TPU-profile cache dir, distinct from the CPU test cache — the relay
+    # AOT-compiles for a different machine profile.)
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir", "/tmp/rt3d_jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     from rt3d.config import reference_2cam_config
     from rt3d.io.synthetic import SyntheticSource
     from rt3d.pipeline.step import build_pipeline
