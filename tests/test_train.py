@@ -68,3 +68,42 @@ def test_overfit_single_box():
     s = np.asarray(scores[0])
     pos = w > 0
     assert s[pos, 2].mean() > 2 * s[~pos, 2].mean()
+
+
+def test_train_checkpoint_resume_bitexact(tmp_path):
+    """Mid-run checkpoint -> resume continues the EXACT trajectory (the
+    whole optimizer state is explicit pytree data; nothing hides)."""
+    from rt3d.runtime.checkpoint import load_pytree, save_pytree
+
+    nc = 4
+    model = YoloSeg(variant="n", num_classes=nc, input_hw=(64, 96))
+    init_fn, step_fn = make_train_step(model, optax.adamw(1e-3))
+    state = init_fn(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (1, 64, 96, 3)).astype(np.float32)
+    cls_t, box_t, w = _targets_for_box(model, (30, 20, 70, 48), 1, nc)
+    batch = {
+        "images": jnp.asarray(img),
+        "cls": jnp.asarray(cls_t)[None],
+        "box": jnp.asarray(box_t)[None],
+        "box_w": jnp.asarray(w)[None],
+        "mask": jnp.zeros((1, 16, 24), jnp.float32),
+    }
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+    ckpt = str(tmp_path / "train.npz")
+    save_pytree(ckpt, state)
+
+    lossesA = []
+    for _ in range(3):
+        state, m = step_fn(state, batch)
+        lossesA.append(float(m["loss"]))
+
+    resumed = load_pytree(ckpt, jax.eval_shape(init_fn, jax.random.PRNGKey(0)))
+    assert int(resumed.step) == 3
+    lossesB = []
+    for _ in range(3):
+        resumed, m = step_fn(resumed, batch)
+        lossesB.append(float(m["loss"]))
+    np.testing.assert_array_equal(np.asarray(lossesA), np.asarray(lossesB))
