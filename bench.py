@@ -66,7 +66,10 @@ def main() -> int:
     # host->device prefetch path anyway, for runs on healthy hosts.
     import jax.numpy as jnp
 
-    src = SyntheticSource(num_cameras=2, num_frames=16, hw=(720, 1280),
+    # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
+    # chip — the camera axis also shards over a mesh (tests/test_multihost)
+    cams = int(os.environ.get("RT3D_BENCH_CAMS", "2"))
+    src = SyntheticSource(num_cameras=cams, num_frames=16, hw=(720, 1280),
                           num_objects=1)
     # calibration comes from the source, like the reference reads it from
     # the ZED SDK (`2cams.py:90-124`) — real fusion/SOR work happens
@@ -106,7 +109,7 @@ def main() -> int:
     res = driver.run(Pre(), num_frames=frames, warmup=max(5, 6 * scan))
 
     result = {
-        "metric": f"e2e_fps_2cam_5mm_yolo11{variant}_tpu_v5e",
+        "metric": f"e2e_fps_{cams}cam_5mm_yolo11{variant}_tpu_v5e",
         "value": round(res.mean_fps, 2),
         "unit": "fps",
         "vs_baseline": round(res.mean_fps / BASELINE_FPS, 3),
