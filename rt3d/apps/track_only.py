@@ -67,14 +67,18 @@ def main() -> int:
                       f"conf={float(det.scores[0][k]):.2f} depth@centre={z:.2f} m")
         if i % 30 == 0:
             print(f"frame {i}: {1.0/max(dt,1e-9):.1f} FPS")
-        def make_img():
-            from rt3d.viz.draw import annotate_frame
+        img_cache = []
 
-            return annotate_frame(
-                pkt.rgb[0], boxes, np.asarray(det.scores[0]),
-                np.asarray(det.classes[0]), valid, np.asarray(ids[0]),
-                fps=1.0 / max(dt, 1e-9),
-            )
+        def make_img():
+            if not img_cache:
+                from rt3d.viz.draw import annotate_frame
+
+                img_cache.append(annotate_frame(
+                    pkt.rgb[0], boxes, np.asarray(det.scores[0]),
+                    np.asarray(det.classes[0]), valid, np.asarray(ids[0]),
+                    fps=1.0 / max(dt, 1e-9),
+                ))
+            return img_cache[0]
 
         if spool is not None:
             spool.publish_frame(i, panel_fn=make_img,

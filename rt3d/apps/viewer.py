@@ -3,7 +3,8 @@ annotated frames + a rotating 3D cloud view — the reference's interactive
 windows (`1cam/rt-tracking.py:157-301`) as a SEPARATE process, so display
 never costs the pipeline a microsecond.
 
-Run the producer with `--live SPOOL_DIR` (two_cam/one_cam), then:
+Run the producer with `--live SPOOL_DIR` (two_cam/one_cam/track_only),
+then:
 
     python -m rt3d.apps.viewer SPOOL_DIR
 
@@ -17,11 +18,14 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
 
 def _gui_available() -> bool:
-    if not os.environ.get("DISPLAY") and os.name != "nt":
+    # macOS cv2 uses Cocoa and needs no DISPLAY; X11 platforms do
+    if (os.name != "nt" and sys.platform != "darwin"
+            and not os.environ.get("DISPLAY")):
         return False
     try:
         import cv2  # noqa: F401
@@ -37,7 +41,12 @@ def main() -> int:
     p.add_argument("--poll", type=float, default=0.1,
                    help="poll interval, seconds")
     p.add_argument("--max-idle", type=float, default=30.0,
-                   help="exit after this many seconds without updates")
+                   help="exit after this many seconds without updates "
+                        "(counted from the FIRST update — producer compile "
+                        "time doesn't count)")
+    p.add_argument("--startup-timeout", type=float, default=900.0,
+                   help="exit if NO update ever arrives within this long "
+                        "(first pipeline compile is minutes)")
     p.add_argument("--out-dir", default=None,
                    help="where rendered views go (default: the spool dir)")
     p.add_argument("--once", action="store_true",
@@ -48,7 +57,8 @@ def main() -> int:
 
     state = ViewerState(args.spool, out_dir=args.out_dir)
     gui = _gui_available()
-    idle_since = time.time()
+    started = time.time()
+    idle_since = None  # set at the first observed update
     snap = 0
     while True:
         status = state.tick()
@@ -67,24 +77,36 @@ def main() -> int:
                     cv2.imshow("rt3d cameras", cv2.imread(fp))
                 if os.path.exists(sp):
                     cv2.imshow("rt3d scene", cv2.imread(sp))
-                key = cv2.waitKey(30) & 0xFF
-                if key == ord("q"):  # reference quit key (`2cams.py:165`)
-                    break
-                if key == ord("s"):  # static capture (`rt-tracking.py:288`)
-                    snap += 1
-                    for src in (fp, sp):
-                        if os.path.exists(src):
-                            dst = src.replace(".png", f"_snap{snap:03d}.png")
-                            import shutil
-
-                            shutil.copyfile(src, dst)
-                    print(f"snapshot {snap} saved", flush=True)
         if args.once:
             break
-        if time.time() - idle_since > args.max_idle:
+        if gui:
+            # the event loop must run EVERY iteration: windows repaint and
+            # the q/s keys respond between spool updates, not only on them
+            import cv2
+
+            key = cv2.waitKey(max(int(args.poll * 1000), 1)) & 0xFF
+            if key == ord("q"):  # reference quit key (`2cams.py:165`)
+                break
+            if key == ord("s"):  # static capture (`rt-tracking.py:288`)
+                snap += 1
+                import shutil
+
+                for src in (os.path.join(args.spool, "frame.png"),
+                            os.path.join(state.out_dir, "viewer_scene.png")):
+                    if os.path.exists(src):
+                        dst = src.replace(".png", f"_snap{snap:03d}.png")
+                        shutil.copyfile(src, dst)
+                print(f"snapshot {snap} saved", flush=True)
+        else:
+            time.sleep(args.poll)
+        now = time.time()
+        if idle_since is None:
+            if now - started > args.startup_timeout:
+                print("no producer appeared; exiting", flush=True)
+                break
+        elif now - idle_since > args.max_idle:
             print("no updates; exiting", flush=True)
             break
-        time.sleep(args.poll)
     if gui:
         import cv2
 

@@ -97,15 +97,22 @@ def backproject_depth_grid(
 
 
 def strided_grid_downsample(x: jax.Array, s: int) -> jax.Array:
-    """Bit-exact ``x[:, ::s, ::s]`` for a (C, H, W) grid, TPU-fast.
+    """``x[:, ::s, ::s]`` for a (C, H, W) float grid, TPU-fast.
 
     A lane-strided slice has no fast lowering on TPU — XLA emits a gather
     that runs at ~0.6 GB/s (1.6 ms for 2x720x1280 f32, profiler-measured).
     Rows are regrouped for free via reshape; columns are selected on the
     MXU with a 0/1 selection matrix. With one nonzero per output column and
     HIGHEST precision (exact 3-term bf16 decomposition of f32), every
-    output equals its input bit-for-bit (asserted in
+    FINITE output equals its input bit-for-bit (asserted in
     `tests/test_geometry_ops.py`).
+
+    Non-finite inputs become 0.0: ``NaN*0=NaN`` / ``Inf*0=NaN`` would
+    otherwise poison the entire output row through the dot product. Depth
+    maps mark invalid pixels with NaN/Inf (`backproject_depth_grid`'s
+    validity rule, above), and a 0 depth is rejected by the same
+    ``(z > 0) & isfinite(z)`` rule, so for depth grids the substitution is
+    validity-preserving.
     """
     if s == 1:
         return x
@@ -113,6 +120,7 @@ def strided_grid_downsample(x: jax.Array, s: int) -> jax.Array:
     if h % s or w % s:
         return x[:, ::s, ::s]
     rows = x.reshape(c, h // s, s, w)[:, :, 0, :]
+    rows = jnp.where(jnp.isfinite(rows), rows, jnp.zeros((), x.dtype))
     sel = (
         jax.lax.broadcasted_iota(jnp.int32, (w, w // s), 0)
         == s * jax.lax.broadcasted_iota(jnp.int32, (w, w // s), 1)

@@ -52,6 +52,26 @@ class LiveSpool:
         os.makedirs(directory, exist_ok=True)
 
     # ------------------------------------------------------------------
+    def _tick_fps(self) -> None:
+        now = time.perf_counter()
+        if self._t_last is not None:
+            dt = max(now - self._t_last, 1e-6)
+            inst = 1.0 / dt
+            self._fps = 0.9 * self._fps + 0.1 * inst if self._fps else inst
+        self._t_last = now
+
+    def _write_status(self, i: int, **extra) -> None:
+        def write(p):
+            with open(p, "w") as f:
+                json.dump({
+                    "frame": int(i),
+                    "fps": round(float(self._fps), 2),
+                    "timestamp": time.time(),
+                    **extra,
+                }, f)
+
+        _atomic_replace(os.path.join(self.dir, "status.json"), write)
+
     def publish(self, i: int, out, rgb: Optional[np.ndarray] = None,
                 rgb_fn=None) -> None:
         """Publish frame i. `out` is a FrameOutputs (host-fetchable); `rgb`
@@ -63,12 +83,7 @@ class LiveSpool:
         (lazily fetches the frames) rather than ``rgb`` so the fetch is
         paid 1-in-`every` times.
         """
-        now = time.perf_counter()
-        if self._t_last is not None:
-            dt = max(now - self._t_last, 1e-6)
-            inst = 1.0 / dt
-            self._fps = 0.9 * self._fps + 0.1 * inst if self._fps else inst
-        self._t_last = now
+        self._tick_fps()
         if i % self.every:
             return
         if rgb is None and rgb_fn is not None:
@@ -107,21 +122,17 @@ class LiveSpool:
         if len(pts):
             _atomic_replace(
                 os.path.join(self.dir, "cloud.ply"),
-                lambda p: save_ply(p, pts, colors),
+                # binary: the ASCII writer's per-point loop costs tens of
+                # ms on the driver thread; the structured tofile is ~free
+                lambda p: save_ply(p, pts, colors, binary=True),
             )
 
-        def write_status(p):
-            with open(p, "w") as f:
-                json.dump({
-                    "frame": int(i),
-                    "fps": round(float(self._fps), 2),
-                    "timestamp": time.time(),
-                    "objects": int(np.asarray(out.objects.present).sum())
-                    if hasattr(out.objects, "present") else 0,
-                    "workspace_points": int(len(ws)),
-                }, f)
-
-        _atomic_replace(os.path.join(self.dir, "status.json"), write_status)
+        self._write_status(
+            i,
+            objects=int(np.asarray(out.objects.present).sum())
+            if hasattr(out.objects, "present") else 0,
+            workspace_points=int(len(ws)),
+        )
 
     def publish_frame(self, i: int, panel: Optional[np.ndarray] = None,
                       panel_fn=None, **extra) -> None:
@@ -129,29 +140,14 @@ class LiveSpool:
         (`rt3d.apps.track_only`). Call EVERY frame (skipped frames pay only
         the FPS bookkeeping); pass ``panel_fn`` so the annotated frame is
         only built 1-in-`every` times."""
-        now = time.perf_counter()
-        if self._t_last is not None:
-            dt = max(now - self._t_last, 1e-6)
-            inst = 1.0 / dt
-            self._fps = 0.9 * self._fps + 0.1 * inst if self._fps else inst
-        self._t_last = now
+        self._tick_fps()
         if i % self.every:
             return
         if panel is None and panel_fn is not None:
             panel = panel_fn()
         if panel is not None:
             self._write_image(panel)
-
-        def write_status(p):
-            with open(p, "w") as f:
-                json.dump({
-                    "frame": int(i),
-                    "fps": round(float(self._fps), 2),
-                    "timestamp": time.time(),
-                    **extra,
-                }, f)
-
-        _atomic_replace(os.path.join(self.dir, "status.json"), write_status)
+        self._write_status(i, **extra)
 
     def _write_image(self, panel: np.ndarray) -> None:
         try:
@@ -191,22 +187,9 @@ def load_cloud(directory: str):
     path = os.path.join(directory, "cloud.ply")
     if not os.path.exists(path):
         return None, None
-    with open(path) as f:
-        n = 0
-        has_color = False
-        for line in f:
-            line = line.strip()
-            if line.startswith("element vertex"):
-                n = int(line.split()[-1])
-            elif line == "property uchar red":
-                has_color = True
-            elif line == "end_header":
-                break
-        rows = np.loadtxt(f, max_rows=n, ndmin=2) if n else np.zeros((0, 6))
-    pts = rows[:, :3].astype(np.float32)
-    cols = rows[:, 3:6].astype(np.uint8) if has_color and rows.shape[1] >= 6 \
-        else None
-    return pts, cols
+    from rt3d.viz.cloud import load_ply
+
+    return load_ply(path)
 
 
 class ViewerState:

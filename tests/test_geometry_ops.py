@@ -356,3 +356,22 @@ def test_strided_grid_downsample_bit_exact(rng):
     y = x[:, :45, :250]
     got = np.asarray(strided_grid_downsample(y, 2))
     np.testing.assert_array_equal(got, np.asarray(y)[:, ::2, ::2])
+
+
+def test_strided_grid_downsample_nonfinite_depth(rng):
+    """NaN/Inf invalid-depth pixels must not poison whole rows through the
+    MXU dot (NaN*0=NaN): off-grid non-finites vanish, on-grid ones become
+    0.0 — rejected by the same (z>0)&isfinite validity rule as NaN."""
+    from rt3d.geometry.ops import strided_grid_downsample
+
+    x = rng.random((1, 16, 256)).astype(np.float32)
+    x[0, 0, 3] = np.nan      # off the stride-2 grid
+    x[0, 2, 5] = np.inf      # off the grid
+    x[0, 4, 6] = np.nan      # ON the grid
+    got = np.asarray(jax.jit(strided_grid_downsample,
+                             static_argnums=1)(jnp.asarray(x), 2))
+    ref = x[:, ::2, ::2]
+    finite = np.isfinite(ref)
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[finite], ref[finite])
+    assert got[0, 2, 3] == 0.0  # the on-grid NaN -> 0 (invalid either way)
