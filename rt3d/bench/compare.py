@@ -34,16 +34,18 @@ def load_run_summary(log_dir: str, name: str = "run",
     out = RunSummary(name=name)
     fps_csv = os.path.join(log_dir, "fps_log.csv")
     tim_csv = os.path.join(log_dir, "timings.csv")
+    # drop-warmup applies unconditionally: a run shorter than the warmup
+    # window yields honest blank columns, never compile-ramp numbers
     if os.path.exists(fps_csv):
         _, fps = _read_fps_log(fps_csv)
-        fps = fps[drop_warmup:] if len(fps) > drop_warmup else fps
+        fps = fps[drop_warmup:]
         if len(fps):
             out.fps_mean = float(np.mean(fps))
             out.fps_median = float(np.median(fps))
             out.fps_max = float(np.max(fps))
     if os.path.exists(tim_csv):
         for stage, vals in read_timings(tim_csv).items():
-            v = vals[drop_warmup:] if len(vals) > drop_warmup else vals
+            v = vals[drop_warmup:]
             if len(v):
                 out.stage_ms[stage] = 1000.0 * float(np.mean(v))
     return out

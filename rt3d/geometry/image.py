@@ -35,7 +35,11 @@ def erode_mask(mask: jax.Array, kernel_size: int = 10) -> jax.Array:
         jax.lax.max,
         window_dimensions=(1,) * (mask.ndim - 2) + (k, k),
         window_strides=(1,) * mask.ndim,
-        # cv2 zero-pads borders, so border pixels erode away
+        # padding cells take the -inf init -> +inf after negation, the min
+        # identity: borders do NOT erode. This MATCHES cv2.erode's default
+        # borderValue (morphologyDefaultBorderValue() = +DBL_MAX — verified
+        # empirically: eroding an all-ones mask keeps its border pixels),
+        # which is what the reference calls (`2cams_mask_cpu.py:56`).
         padding=[(0, 0)] * (mask.ndim - 2) + [(k // 2, (k - 1) // 2)] * 2,
     )
     return out >= 1.0

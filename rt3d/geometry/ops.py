@@ -36,9 +36,11 @@ _INT_SENTINEL = jnp.iinfo(jnp.int32).max
 class PointBuffer:
     """A padded point cloud: fixed capacity, `valid` marks live rows.
 
-    Invariant maintained by all producers in this module: valid rows are
-    contiguous at the front (rows `0..count-1`), so ``count`` alone describes
-    occupancy and downstream kernels can early-out on tile granularity.
+    ``valid`` is the source of truth: consumers must mask by it, never
+    assume live rows are front-contiguous. Most producers in this module do
+    compact survivors to the front, but `voxel_downsample_grid` leaves
+    holes where window-missed duplicates sorted adjacent to their twin, and
+    ``count`` is always a mask sum, not a prefix length.
     """
 
     points: jax.Array  # (N, 3) float32

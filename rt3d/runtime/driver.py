@@ -277,51 +277,68 @@ class PipelineDriver:
         next_chunk = len(in_flight)
 
         out = None
+        last_good = [None]  # last GOOD frame's outputs (matches frame loop)
         skipped = 0
         pending = deque()
         t_measure = None
         measured = 0
-        chunk_times = []
+        per_frame_times: list = []
 
         def drain_one():
-            s0, out_j = pending.popleft()
+            # `good` masks bad-status frames and tail padding alike: only
+            # good frames reach on_frame / last_outputs, mirroring the
+            # frame-at-a-time loop's `if bad: continue`
+            s0, out_j, good_np, n_real = pending.popleft()
             jax.block_until_ready(
                 (out_j.workspace.valid, out_j.objects_flat.points)
             )
-            if on_frame is not None:
-                for j in range(k):
-                    if s0 + j < num_frames:
-                        on_frame(
-                            s0 + j,
-                            jax.tree_util.tree_map(lambda x: x[j], out_j),
-                        )
+            picked = None
+            for j in range(n_real):
+                if not good_np[j]:
+                    continue
+                if on_frame is not None:
+                    on_frame(
+                        s0 + j,
+                        jax.tree_util.tree_map(lambda x, _j=j: x[_j], out_j),
+                    )
+                picked = j
+            if picked is not None:
+                last_good[0] = jax.tree_util.tree_map(
+                    lambda x, _j=picked: x[_j], out_j
+                )
             return out_j
 
         for ci, s in enumerate(starts):
             t0 = time.perf_counter()
-            with self.log.span("Frame Retrieval"):
-                rgb, depth, good, ngood = in_flight.popleft().result()
-                if next_chunk < len(starts):
-                    in_flight.append(
-                        uploader.submit(fetch_chunk, starts[next_chunk])
-                    )
-                    next_chunk += 1
-            skipped += min(k, num_frames - s) - ngood
+            rgb, depth, good, ngood = in_flight.popleft().result()
+            if next_chunk < len(starts):
+                in_flight.append(
+                    uploader.submit(fetch_chunk, starts[next_chunk])
+                )
+                next_chunk += 1
+            t_retr = time.perf_counter() - t0
+            n_real = min(k, num_frames - s)
+            skipped += n_real - ngood
             self.state, out_k = self._step_scan(
                 self.params, self.state, rgb, depth, self.calib, good
             )
             if fetch_outputs:
-                pending.append((s, out_k))
+                pending.append((s, out_k, np.asarray(good), n_real))
                 if len(pending) >= self.pipeline_depth:
                     out = drain_one()
             total = time.perf_counter() - t0
+            # one CSV row per GOOD frame for every stage, so columns stay
+            # frame-aligned with the frame-at-a-time loop and the
+            # reference's schema (chunk cost split evenly across its frames)
             for _ in range(ngood):
+                self.log.add("Frame Retrieval", t_retr / max(ngood, 1))
                 self.log.end_iteration(total / max(ngood, 1))
             if s >= warmup:
                 if t_measure is None:
                     t_measure = t0
                 measured += ngood
-                chunk_times.append(total)
+                if ngood:
+                    per_frame_times.extend([total / ngood] * ngood)
         while pending:
             out = drain_one()
         elapsed = (
@@ -330,19 +347,14 @@ class PipelineDriver:
         uploader.shutdown(wait=False)
         self.skipped_frames = skipped
         self.log.write_timings()
-        per_frame = (
-            np.asarray(chunk_times) / k if chunk_times else np.asarray([1.0])
-        )
-        last = (
-            jax.tree_util.tree_map(lambda x: x[-1], out)
-            if out is not None else None
-        )
+        per_frame = np.asarray(per_frame_times)
+        del out  # drained; last_good holds the last good frame's outputs
         return DriverResult(
             frames=num_frames,
             mean_fps=float(measured / elapsed) if elapsed > 0 else 0.0,
-            median_fps=float(1.0 / np.median(per_frame)),
-            max_fps=float(1.0 / per_frame.min()),
+            median_fps=float(1.0 / np.median(per_frame)) if len(per_frame) else 0.0,
+            max_fps=float(1.0 / per_frame.min()) if len(per_frame) else 0.0,
             summary_ms=self.log.summary_ms(),
-            last_outputs=last,
+            last_outputs=last_good[0],
             skipped_frames=skipped,
         )

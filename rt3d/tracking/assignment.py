@@ -271,4 +271,9 @@ def solve_matching(
         return solve_matching_exact(cost, thresh)
     if method == "greedy":
         return solve_matching_greedy(cost, thresh)
-    return solve_matching_refined(cost, thresh)
+    if method == "refined":
+        return solve_matching_refined(cost, thresh)
+    raise ValueError(
+        f"unknown assignment method {method!r}; "
+        "expected 'greedy', 'refined', or 'exact'"
+    )

@@ -207,22 +207,35 @@ def rescale_warp(warp: jax.Array, scale: float, offset_xy) -> jax.Array:
     return jnp.concatenate([a, b_o[:, None]], axis=1)
 
 
-def apply_gmc_to_tracks(mean: jax.Array, warp: jax.Array) -> jax.Array:
+def apply_gmc_to_tracks(mean: jax.Array, warp: jax.Array,
+                        cov: jax.Array = None):
     """Warp predicted track states by the camera-motion estimate.
 
     ``warp`` is a (2, 3) affine [A | b] (use `translation_warp` for pure
     shifts). On the xyah Kalman state: centres map affinely, heights scale
     by sqrt(|det A|) (aspect is scale-invariant), and velocities rotate by
     A without translation — the same treatment BoT-SORT's multi_gmc applies
-    to its xywh state."""
+    to its state. When ``cov`` is given, it transforms as M P M^T with M
+    the (8, 8) linearization of the same map (multi_gmc's
+    ``R8x8 @ cov @ R8x8.T``); without it the uncertainty ellipses would
+    stay oriented to the pre-warp frame under camera rotation."""
     a = warp[:, :2]
     b = warp[:, 2]
     c = mean[:, 0:2] @ a.T + b
     scale = jnp.sqrt(jnp.abs(jnp.linalg.det(a)))
     v = mean[:, 4:6] @ a.T
-    return (
+    new_mean = (
         mean.at[:, 0:2].set(c)
         .at[:, 3].mul(scale)
         .at[:, 4:6].set(v)
         .at[:, 7].mul(scale)
     )
+    if cov is None:
+        return new_mean
+    m = jnp.eye(8, dtype=cov.dtype)
+    m = m.at[0:2, 0:2].set(a)
+    m = m.at[3, 3].set(scale)
+    m = m.at[4:6, 4:6].set(a)
+    m = m.at[7, 7].set(scale)
+    new_cov = jnp.einsum("ij,njk,lk->nil", m, cov, m)
+    return new_mean, new_cov

@@ -172,7 +172,7 @@ def bytetrack_step(
     if gmc_warp is not None:
         from rt3d.tracking.botsort import apply_gmc_to_tracks
 
-        pmean = apply_gmc_to_tracks(pmean, gmc_warp)
+        pmean, pcov = apply_gmc_to_tracks(pmean, gmc_warp, pcov)
     ts = ts.replace(
         mean=jnp.where(live[:, None], pmean, ts.mean),
         cov=jnp.where(live[:, None, None], pcov, ts.cov),

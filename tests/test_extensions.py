@@ -287,3 +287,18 @@ def test_gmc_rescale_warp_and_apply(rng):
     np.testing.assert_allclose(out[:, 3], 50.0 * det_scale, rtol=1e-5)
     np.testing.assert_allclose(out[0, 4:6], warp_big[:, :2] @ mean[0, 4:6],
                                rtol=1e-5)
+
+
+def test_erode_mask_border_matches_cv2_default(rng):
+    """cv2.erode's DEFAULT borderValue is +DBL_MAX (the min identity):
+    borders do not erode. Pin our reduce_window padding to that."""
+    m = np.ones((10, 10), bool)
+    got = np.asarray(erode_mask(jnp.asarray(m), kernel_size=5))
+    assert got.all()  # all-ones mask survives intact, border included
+    try:
+        import cv2
+
+        cv = cv2.erode(m.astype(np.uint8), np.ones((5, 5), np.uint8)) > 0
+        np.testing.assert_array_equal(got, cv)
+    except ImportError:
+        pass
