@@ -158,3 +158,43 @@ def test_driver_scan_mode_runs(pipe_and_params):
     assert res.mean_fps > 0
     assert res.skipped_frames == 0
     assert int(driver.state.tracker.frame_id[0]) == 5
+
+
+def test_driver_scan_mode_skips_bad_frames(pipe_and_params, tmp_path):
+    """Scan mode must honor the frame loop's bad-frame contract: on_frame
+    never sees error-status frames or tail padding, last_outputs is the
+    last GOOD frame, and timings.csv stays per-frame column-aligned."""
+    from rt3d.io.source import FramePacket
+    from rt3d.runtime.driver import PipelineDriver
+    from rt3d.viz.plots import read_timings
+
+    pipe, params = pipe_and_params
+
+    class FlakySource:
+        def get(self, i):
+            status = np.zeros(2, np.uint32)
+            if i in (1, 4):
+                status[1] = 7
+            rgb = np.zeros((2, H, W, 3), np.uint8)
+            rgb[:, :, :, 0] = i  # frame-identifying pixel value
+            return FramePacket(
+                rgb=rgb, depth=np.ones((2, H, W), np.float32),
+                status=status, index=i,
+            )
+
+    seen = []
+    tim = str(tmp_path / "timings.csv")
+    driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=2,
+                            frames_per_dispatch=2, timings_path=tim)
+    res = driver.run(FlakySource(), num_frames=5, warmup=0,
+                     on_frame=lambda i, o: seen.append(i))
+    assert seen == [0, 2, 3]  # 1 and 4 bad; 5..: beyond num_frames
+    assert res.skipped_frames == 2
+    assert res.last_outputs is not None
+    # per-frame CSV alignment: every stage row has one value per GOOD frame
+    cols = read_timings(tim)
+    n_good = len(seen)
+    assert len(cols["Total Time per Iteration"]) == n_good
+    assert len(cols["Frame Retrieval"]) == n_good
+    # tracker advanced only on good frames
+    assert int(driver.state.tracker.frame_id[0]) == 3
