@@ -262,10 +262,14 @@ class PipelineDriver:
                 rgbs.append(rgbs[-1])
                 depths.append(depths[-1])
                 goods.append(False)
+            # goods returned BOTH as the device operand and as a host array:
+            # reading the device copy back (np.asarray) would be a
+            # synchronous ~25 ms relay round trip per chunk
             return (
                 jnp.stack([jnp.asarray(r) for r in rgbs]),
                 jnp.stack([jnp.asarray(d) for d in depths]),
                 jnp.asarray(goods),
+                np.asarray(goods, bool),
                 int(np.sum(goods)),
             )
 
@@ -303,14 +307,14 @@ class PipelineDriver:
                     )
                 picked = j
             if picked is not None:
-                last_good[0] = jax.tree_util.tree_map(
-                    lambda x, _j=picked: x[_j], out_j
-                )
+                # defer the tree slice to the end of the run: ~20 tiny
+                # slice dispatches per chunk are pure relay overhead
+                last_good[0] = (out_j, picked)
             return out_j
 
         for ci, s in enumerate(starts):
             t0 = time.perf_counter()
-            rgb, depth, good, ngood = in_flight.popleft().result()
+            rgb, depth, good, good_host, ngood = in_flight.popleft().result()
             if next_chunk < len(starts):
                 in_flight.append(
                     uploader.submit(fetch_chunk, starts[next_chunk])
@@ -323,7 +327,7 @@ class PipelineDriver:
                 self.params, self.state, rgb, depth, self.calib, good
             )
             if fetch_outputs:
-                pending.append((s, out_k, np.asarray(good), n_real))
+                pending.append((s, out_k, good_host, n_real))
                 if len(pending) >= self.pipeline_depth:
                     out = drain_one()
             total = time.perf_counter() - t0
@@ -349,12 +353,18 @@ class PipelineDriver:
         self.log.write_timings()
         per_frame = np.asarray(per_frame_times)
         del out  # drained; last_good holds the last good frame's outputs
+        last_outputs = None
+        if last_good[0] is not None:
+            out_j, picked = last_good[0]
+            last_outputs = jax.tree_util.tree_map(
+                lambda x, _j=picked: x[_j], out_j
+            )
         return DriverResult(
             frames=num_frames,
             mean_fps=float(measured / elapsed) if elapsed > 0 else 0.0,
             median_fps=float(1.0 / np.median(per_frame)) if len(per_frame) else 0.0,
             max_fps=float(1.0 / per_frame.min()) if len(per_frame) else 0.0,
             summary_ms=self.log.summary_ms(),
-            last_outputs=last_good[0],
+            last_outputs=last_outputs,
             skipped_frames=skipped,
         )
