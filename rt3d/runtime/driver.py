@@ -270,7 +270,6 @@ class PipelineDriver:
                 jnp.stack([jnp.asarray(d) for d in depths]),
                 jnp.asarray(goods),
                 np.asarray(goods, bool),
-                int(np.sum(goods)),
             )
 
         starts = list(range(0, num_frames, k))
@@ -314,7 +313,8 @@ class PipelineDriver:
 
         for ci, s in enumerate(starts):
             t0 = time.perf_counter()
-            rgb, depth, good, good_host, ngood = in_flight.popleft().result()
+            rgb, depth, good, good_host = in_flight.popleft().result()
+            ngood = int(good_host.sum())
             if next_chunk < len(starts):
                 in_flight.append(
                     uploader.submit(fetch_chunk, starts[next_chunk])
@@ -323,6 +323,11 @@ class PipelineDriver:
             t_retr = time.perf_counter() - t0
             n_real = min(k, num_frames - s)
             skipped += n_real - ngood
+            if ngood == 0:
+                # whole chunk is error-status/padding: every state update
+                # would be masked out and no output is ever read — skip the
+                # device step entirely (frame loop's `continue` analog)
+                continue
             self.state, out_k = self._step_scan(
                 self.params, self.state, rgb, depth, self.calib, good
             )

@@ -176,7 +176,7 @@ def test_driver_scan_mode_skips_bad_frames(pipe_and_params, tmp_path):
             if i in (1, 4):
                 status[1] = 7
             rgb = np.zeros((2, H, W, 3), np.uint8)
-            rgb[:, :, :, 0] = i  # frame-identifying pixel value
+            rgb[:, :, :, 0] = i  # vary inputs per frame
             return FramePacket(
                 rgb=rgb, depth=np.ones((2, H, W), np.float32),
                 status=status, index=i,
