@@ -15,6 +15,24 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
+
+
+def _fs_barrier(tag: str, pid: int, nproc: int, bdir: str,
+                timeout: float = 540.0) -> None:
+    """Filesystem barrier: on a 1-core box the two workers skew by the
+    SERIALIZED interpreter startup + compile time, which blows Gloo's hard
+    30 s rendezvous timeout if one process reaches the first collective
+    early. Align them explicitly before executing any collective."""
+    open(os.path.join(bdir, f"{tag}.{pid}"), "w").close()
+    t0 = time.time()
+    while not all(
+        os.path.exists(os.path.join(bdir, f"{tag}.{q}"))
+        for q in range(nproc)
+    ):
+        if time.time() - t0 > timeout:
+            raise TimeoutError(f"barrier {tag}: peer never arrived")
+        time.sleep(0.25)
 
 
 def _globalize(tree, mesh, cam_axis, pid, per_proc):
@@ -86,7 +104,18 @@ def main() -> int:
     g_depth = _globalize(np.asarray(pkt.depth), mesh, "cam", pid, per_proc)
     g_calib = _globalize(calib, mesh, "cam", pid, per_proc)
 
-    _, out = sharded(g_params, g_state, g_rgb, g_depth, g_calib)
+    # compile ahead of time, then BARRIER, then execute: the first
+    # execution initializes the Gloo context (hard 30 s rendezvous), so
+    # both processes must reach it together
+    bdir = os.path.dirname(os.path.abspath(out_path))
+    # tag unique per test attempt (out files are worker{pid}_a{N}.json) so
+    # a retry never sees the previous attempt's barrier files
+    tag = "compiled_a" + os.path.basename(out_path).rsplit("_a", 1)[-1]
+    compiled = sharded.lower(
+        g_params, g_state, g_rgb, g_depth, g_calib
+    ).compile()
+    _fs_barrier(tag, pid, nproc, bdir)
+    _, out = compiled(g_params, g_state, g_rgb, g_depth, g_calib)
 
     # fused outputs are replicated -> every process holds a full copy
     flat_pts = np.asarray(out.objects_flat.points)

@@ -29,8 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_mesh_matches_single_process(tmp_path):
+def _run_workers(tmp_path, attempt):
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -48,7 +47,7 @@ def test_two_process_mesh_matches_single_process(tmp_path):
     procs = []
     outs = []
     for pid in range(NPROC):
-        out_json = str(tmp_path / f"worker{pid}.json")
+        out_json = str(tmp_path / f"worker{pid}_a{attempt}.json")
         outs.append(out_json)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
@@ -57,8 +56,25 @@ def test_two_process_mesh_matches_single_process(tmp_path):
         ))
     logs = [p.communicate(timeout=600)[0].decode(errors="replace")
             for p in procs]
-    for pid, (p, log) in enumerate(zip(procs, logs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+    return procs, logs, outs
+
+
+@pytest.mark.slow
+def test_two_process_mesh_matches_single_process(tmp_path):
+    # Gloo's rendezvous KV-get has a hard 30 s timeout; on this 1-core box
+    # the two workers can skew past it when one hits a cold compile. That
+    # is infra timing, not collective semantics — retry once (the first
+    # attempt also warms the shared compile cache, so the rerun is fast
+    # and tightly synchronized).
+    for attempt in range(2):
+        procs, logs, outs = _run_workers(tmp_path, attempt)
+        if all(p.returncode == 0 for p in procs):
+            break
+        gloo_skew = any("Gloo context initialization failed" in log
+                        or "DEADLINE_EXCEEDED" in log for log in logs)
+        if attempt == 1 or not gloo_skew:
+            for pid, (p, log) in enumerate(zip(procs, logs)):
+                assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
 
     summaries = []
     for out_json in outs:
