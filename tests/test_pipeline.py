@@ -198,3 +198,22 @@ def test_driver_scan_mode_skips_bad_frames(pipe_and_params, tmp_path):
     assert len(cols["Frame Retrieval"]) == n_good
     # tracker advanced only on good frames
     assert int(driver.state.tracker.frame_id[0]) == 3
+
+
+def test_driver_profile_mode_fills_stage_rows(pipe_and_params, tmp_path):
+    """mode='profile' (stage-split jits, the reference's per-stage timing
+    analog) still drives every stage after refactors and fills the CSV
+    schema columns the fused mode can't."""
+    from rt3d.runtime.driver import PipelineDriver
+
+    pipe, params = pipe_and_params
+    src = SyntheticSource(num_cameras=2, num_frames=2, hw=(H, W))
+    driver = PipelineDriver(
+        pipe, params, mode="profile",
+        timings_path=str(tmp_path / "timings.csv"),
+    )
+    res = driver.run(src, num_frames=2, warmup=0)
+    assert res.frames == 2
+    for stage in ("Point Cloud Processing", "YOLO11 Inference",
+                  "Mask Processing", "Point Cloud Fusion", "Subtraction"):
+        assert res.summary_ms.get(stage, 0.0) > 0.0, stage
