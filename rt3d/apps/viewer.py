@@ -69,14 +69,22 @@ def main() -> int:
                   f"{status.get('workspace_points', 0)} workspace pts",
                   flush=True)
             if gui:
-                import cv2
+                # DISPLAY being set doesn't guarantee a working X
+                # connection; a broken one raises cv2.error on the first
+                # imshow — degrade to the headless path instead of dying
+                try:
+                    import cv2
 
-                fp = os.path.join(args.spool, "frame.png")
-                sp = os.path.join(state.out_dir, "viewer_scene.png")
-                if os.path.exists(fp):
-                    cv2.imshow("rt3d cameras", cv2.imread(fp))
-                if os.path.exists(sp):
-                    cv2.imshow("rt3d scene", cv2.imread(sp))
+                    fp = os.path.join(args.spool, "frame.png")
+                    sp = os.path.join(state.out_dir, "viewer_scene.png")
+                    if os.path.exists(fp):
+                        cv2.imshow("rt3d cameras", cv2.imread(fp))
+                    if os.path.exists(sp):
+                        cv2.imshow("rt3d scene", cv2.imread(sp))
+                except Exception:
+                    print("display unavailable; continuing headless",
+                          flush=True)
+                    gui = False
         if args.once:
             break
         if gui:
@@ -84,7 +92,12 @@ def main() -> int:
             # the q/s keys respond between spool updates, not only on them
             import cv2
 
-            key = cv2.waitKey(max(int(args.poll * 1000), 1)) & 0xFF
+            try:
+                key = cv2.waitKey(max(int(args.poll * 1000), 1)) & 0xFF
+            except Exception:
+                print("display unavailable; continuing headless", flush=True)
+                gui = False
+                continue
             if key == ord("q"):  # reference quit key (`2cams.py:165`)
                 break
             if key == ord("s"):  # static capture (`rt-tracking.py:288`)
@@ -110,7 +123,10 @@ def main() -> int:
     if gui:
         import cv2
 
-        cv2.destroyAllWindows()
+        try:
+            cv2.destroyAllWindows()
+        except Exception:
+            pass
     return 0
 
 

@@ -335,19 +335,32 @@ class PipelineDriver:
                 pending.append((s, out_k, good_host, n_real))
                 if len(pending) >= self.pipeline_depth:
                     out = drain_one()
+            else:
+                # mirror the frame-at-a-time loop, which still returns the
+                # last un-synced outputs when nobody consumes per-frame
+                # results (slice deferred to the end of the run, as above)
+                for j in range(n_real):
+                    if good_host[j]:
+                        last_good[0] = (out_k, j)
             total = time.perf_counter() - t0
             # one CSV row per GOOD frame for every stage, so columns stay
             # frame-aligned with the frame-at-a-time loop and the
-            # reference's schema (chunk cost split evenly across its frames)
+            # reference's schema. Chunk cost is split over the n_real
+            # frames the scan EXECUTED, not just the good ones — a
+            # 1-good/3-bad chunk runs 4 device steps, and charging all 4
+            # to the single good frame would inflate its number (the
+            # frame-loop analog skips bad frames before the device step,
+            # so its good-frame rows carry no such surcharge either).
+            # Bad frames' share of the chunk is intentionally unlogged.
             for _ in range(ngood):
-                self.log.add("Frame Retrieval", t_retr / max(ngood, 1))
-                self.log.end_iteration(total / max(ngood, 1))
+                self.log.add("Frame Retrieval", t_retr / max(n_real, 1))
+                self.log.end_iteration(total / max(n_real, 1))
             if s >= warmup:
                 if t_measure is None:
                     t_measure = t0
                 measured += ngood
                 if ngood:
-                    per_frame_times.extend([total / ngood] * ngood)
+                    per_frame_times.extend([total / n_real] * ngood)
         while pending:
             out = drain_one()
         elapsed = (

@@ -259,6 +259,10 @@ def solve_matching_refined(
     """Greedy + local refinement: near-exact matching at vector latency."""
     col_of_row, row_of_col = solve_matching_greedy(cost, thresh)
     r, c = cost.shape
+    if r == 0 or c == 0:
+        # nothing to refine; _refine_matching's (r, r)/(r, c) argmins
+        # don't trace for zero-size matrices, greedy handles them fine
+        return col_of_row, row_of_col
     if rounds is None:
         rounds = min(r, c)
     return _refine_matching(cost, thresh, col_of_row, row_of_col, rounds)

@@ -126,6 +126,13 @@ class LiveSpool:
                 # ms on the driver thread; the structured tofile is ~free
                 lambda p: save_ply(p, pts, colors, binary=True),
             )
+        else:
+            # empty frame: drop the previous cloud so the viewer doesn't
+            # render a stale one labeled with this frame number
+            try:
+                os.unlink(os.path.join(self.dir, "cloud.ply"))
+            except FileNotFoundError:
+                pass
 
         self._write_status(
             i,
@@ -162,6 +169,12 @@ class LiveSpool:
             w(tmp)
             os.replace(tmp, os.path.join(self.dir, "frame.png"))
         except Exception:
+            # don't leave a partially written tmp behind in the spool
+            try:
+                os.unlink(os.path.join(self.dir, "frame.tmp.png"))
+            except OSError:
+                pass
+
             def w_npy(p):
                 with open(p, "wb") as f:  # np.save would append .npy
                     np.save(f, panel)
