@@ -11,6 +11,20 @@ import jax
 
 from rt3d.config import Config, reference_2cam_config
 
+# Persistent compile cache for every CLI app (bench.py already does this):
+# on the dev relay the first full-pipeline compile is minutes; cached
+# repeats are seconds. Scoped per backend so CPU test artifacts and
+# TPU AOT artifacts never mix (different machine profiles).
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _backend = os.environ.get("JAX_PLATFORMS", "tpu").split(",")[0] or "tpu"
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        "/tmp/rt3d_jax_cache_tpu" if _backend not in ("cpu",)
+        else "/tmp/rt3d_jax_cache_cpu",
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
 
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--source", default="synthetic",
@@ -35,6 +49,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="write annotated frames as PNGs")
     p.add_argument("--live", default=None, metavar="SPOOL_DIR",
                    help="publish latest outputs for `rt3d.apps.viewer`")
+    p.add_argument("--accumulate", action="store_true",
+                   help="persistent TSDF-style workspace accumulation: the "
+                        "published workspace cloud is a decaying weighted "
+                        "voxel set instead of a per-frame rebuild")
 
 
 def load_config(args, num_cameras: Optional[int] = None) -> Config:
@@ -46,6 +64,11 @@ def load_config(args, num_cameras: Optional[int] = None) -> Config:
     if args.weights:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, weights=args.weights)
+        )
+    if getattr(args, "accumulate", False):
+        cfg = dataclasses.replace(
+            cfg, pipeline=dataclasses.replace(
+                cfg.pipeline, workspace_accumulate=True)
         )
     if num_cameras is not None and num_cameras != cfg.rig.num_cameras:
         from rt3d.config import RigConfig

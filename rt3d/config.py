@@ -225,6 +225,20 @@ class PipelineConfig:
     # SOR the fused workspace cloud (CPU variant only,
     # `2cams_mask_cpu.py:530`); the GPU/benchmark variant skips it.
     workspace_sor: bool = False
+    # Persistent TSDF-style workspace accumulation (stretch config;
+    # BASELINE.json configs[4]). The reference rebuilds its workspace
+    # cloud from scratch every frame (`vision_pipeline_utils.py:229-254`);
+    # with this on, the post-subtraction workspace voxels fold into a
+    # persistent weighted voxel set (`rt3d/geometry/voxel_sets.py`):
+    # weights decay by `accum_decay` per frame, observed voxels gain
+    # `accum_obs_weight`, and the published workspace cloud is the set of
+    # voxels with weight >= `accum_min_weight` — so geometry survives
+    # transient occlusion and sensor dropouts, and noise voxels fade out.
+    workspace_accumulate: bool = False
+    accum_capacity: int = 65536
+    accum_decay: float = 0.97
+    accum_obs_weight: float = 1.0
+    accum_min_weight: float = 0.5
     # --- static capacities (padded buffer sizes; compile-time constants) ---
     # raw mask-union pixels entering the object-path sort (pre-dedupe)
     mask_presort_capacity: int = 131072

@@ -46,6 +46,11 @@ from rt3d.geometry.ops import (
 )
 from rt3d.geometry.sor import sor_inlier_mask_windowed
 from rt3d.geometry.subtract import subtract_min_dist
+from rt3d.geometry.voxel_sets import (
+    VoxelAccumulator,
+    accumulate_voxels,
+    extract_accumulated,
+)
 from rt3d.models.yolo.model import YoloSeg
 from rt3d.models.yolo.postprocess import (
     Detections,
@@ -107,6 +112,9 @@ class PipelineState:
     # previous frame's downsampled grayscale per camera, for BoT-SORT GMC
     # (zeros-sized (C, 1, 1) placeholder when GMC is off)
     prev_gray: jax.Array
+    # persistent workspace voxel accumulator (capacity-1 placeholder when
+    # cfg.pipeline.workspace_accumulate is off)
+    accum: VoxelAccumulator
 
 
 @struct.dataclass
@@ -149,9 +157,12 @@ class Pipeline:
             lambda _: bytetrack_init(t.max_tracks, emb_dim=t.emb_dim)
         )(jnp.arange(c))
         gh, gw = self._gray_hw() if self._use_gmc else (1, 1)
+        p = self.cfg.pipeline
+        cap = p.accum_capacity if p.workspace_accumulate else 1
         return PipelineState(
             tracker=trackers,
             prev_gray=jnp.zeros((c, gh, gw), jnp.float32),
+            accum=VoxelAccumulator.empty(cap),
         )
 
     # ------------------------------------------------------------------
@@ -282,7 +293,8 @@ class Pipeline:
             new_tracker, ids = jax.vmap(
                 lambda ts, d: bytetrack_step(ts, d, tcfg, frame_rate=fps)
             )(state.tracker, det)
-        return PipelineState(tracker=new_tracker, prev_gray=prev_gray), ids
+        return PipelineState(tracker=new_tracker, prev_gray=prev_gray,
+                             accum=state.accum), ids
 
     def masks(self, protos: jax.Array, det: Detections) -> jax.Array:
         """(C, D, H, W) bool full-resolution instance masks; optionally
@@ -468,6 +480,22 @@ class Pipeline:
             )
             ws_all = PointBuffer(points=ws_all.points, valid=keep)
         ws_out = self.subtract(ws_all, flat)
+        acc_ovf = jnp.int32(0)
+        if self.cfg.pipeline.workspace_accumulate:
+            # persistent TSDF-style workspace memory (stretch config): fold
+            # this frame's post-subtraction voxels into the weighted set and
+            # publish the accumulated view instead of the per-frame rebuild.
+            p = self.cfg.pipeline
+            acc, acc_ovf = accumulate_voxels(
+                state.accum, ws_out.points, ws_out.valid, p.voxel_size,
+                p.dedupe_bound_m, decay=p.accum_decay,
+                obs_weight=p.accum_obs_weight,
+            )
+            state = state.replace(accum=acc)
+            ws_out = extract_accumulated(
+                acc, p.voxel_size, p.dedupe_bound_m,
+                min_weight=p.accum_min_weight,
+            )
         out = FrameOutputs(
             detections=det,
             track_ids=ids,
@@ -475,7 +503,7 @@ class Pipeline:
             objects_flat=flat,
             workspace=ws_out,
             per_camera_objects=per_cam_objs,
-            overflow=jnp.sum(obj_ovf) + jnp.sum(ws_ovf) + flat_ovf,
+            overflow=jnp.sum(obj_ovf) + jnp.sum(ws_ovf) + flat_ovf + acc_ovf,
         )
         return state, out
 

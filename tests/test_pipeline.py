@@ -217,3 +217,107 @@ def test_driver_profile_mode_fills_stage_rows(pipe_and_params, tmp_path):
     for stage in ("Point Cloud Processing", "YOLO11 Inference",
                   "Mask Processing", "Point Cloud Fusion", "Subtraction"):
         assert res.summary_ms.get(stage, 0.0) > 0.0, stage
+
+
+def test_workspace_accumulation_survives_transient_occlusion():
+    """Stretch config (BASELINE configs[4], persistent TSDF-style workspace
+    accumulation): a depth dropout that wipes half the table from the
+    instantaneous workspace cloud must NOT wipe it from the accumulated
+    one — and the memory must fade once the dropout persists (decay)."""
+    import dataclasses
+
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, pipeline=dataclasses.replace(
+            base.pipeline, workspace_accumulate=True, accum_capacity=16384,
+            accum_decay=0.9, accum_obs_weight=1.0, accum_min_weight=0.5,
+        ))
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    pipe_plain = build_pipeline(base)
+
+    src = SyntheticSource(num_cameras=2, num_frames=4, hw=(H, W))
+    calib = CameraCalib.from_config(cfg)
+    pkt = src.get(0)
+    rgb, depth = jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth)
+
+    step = jax.jit(pipe.step)
+    state = pipe.init_state()
+    for _ in range(3):  # build up weight on the steady scene
+        state, out = step(params, state, rgb, depth, calib)
+    n_full = int(out.workspace.count)
+    assert n_full > 200
+
+    # dropout: left half of every depth map goes invalid
+    occ = np.asarray(pkt.depth).copy()
+    occ[:, :, : W // 2] = np.nan
+    occ = jnp.asarray(occ)
+
+    # the per-frame-rebuild pipeline loses the occluded half immediately
+    _, out_plain = jax.jit(pipe_plain.step)(
+        params, pipe_plain.init_state(), rgb, occ, calib)
+    n_plain = int(out_plain.workspace.count)
+    assert n_plain < 0.7 * n_full, (n_plain, n_full)
+
+    # the accumulated workspace barely notices one bad frame
+    state, out_occ = step(params, state, rgb, occ, calib)
+    n_acc = int(out_occ.workspace.count)
+    assert n_acc > 0.9 * n_full, (n_acc, n_full)
+    # and the surviving cloud still covers the occluded region: compare
+    # x-extent of accumulated vs instantaneous clouds
+    pts_acc = np.asarray(out_occ.workspace.points)[
+        np.asarray(out_occ.workspace.valid)]
+    pts_pl = np.asarray(out_plain.workspace.points)[
+        np.asarray(out_plain.workspace.valid)]
+    assert pts_acc[:, 0].min() < pts_pl[:, 0].min() - 0.05 or \
+        pts_acc[:, 0].max() > pts_pl[:, 0].max() + 0.05
+
+    # persistent dropout: weights decay below the threshold and the
+    # occluded half fades from the published cloud (no immortal ghosts)
+    for _ in range(25):
+        state, out_occ = step(params, state, rgb, occ, calib)
+    n_late = int(out_occ.workspace.count)
+    assert n_late < n_acc - 0.5 * (n_full - n_plain), (n_late, n_acc)
+    assert int(out_occ.overflow) == 0
+
+
+def test_workspace_accumulation_scan_and_checkpoint(tmp_path):
+    """Accumulator state rides the scan path's good-frame masking and the
+    checkpoint round-trip like every other piece of PipelineState."""
+    import dataclasses
+
+    from rt3d.runtime.checkpoint import load_pytree, save_pytree
+
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base, pipeline=dataclasses.replace(
+            base.pipeline, workspace_accumulate=True, accum_capacity=16384,
+        ))
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    src = SyntheticSource(num_cameras=2, num_frames=3, hw=(H, W))
+    calib = CameraCalib.from_config(cfg)
+    pkts = [src.get(i) for i in range(3)]
+    rgb = jnp.stack([jnp.asarray(p.rgb) for p in pkts])
+    depth = jnp.stack([jnp.asarray(p.depth) for p in pkts])
+    good = jnp.asarray([True, False, True])
+
+    st_scan, _ = jax.jit(pipe.step_scan)(
+        params, pipe.init_state(), rgb, depth, calib, good)
+
+    step = jax.jit(pipe.step)
+    st = pipe.init_state()
+    for i in range(3):
+        new_st, _ = step(params, st, rgb[i], depth[i], calib)
+        if bool(good[i]):
+            st = new_st
+    np.testing.assert_array_equal(np.asarray(st_scan.accum.keys),
+                                  np.asarray(st.accum.keys))
+    np.testing.assert_allclose(np.asarray(st_scan.accum.weight),
+                               np.asarray(st.accum.weight), rtol=1e-6)
+
+    ckpt = str(tmp_path / "state.npz")
+    save_pytree(ckpt, st)
+    restored = load_pytree(ckpt, jax.eval_shape(pipe.init_state))
+    np.testing.assert_array_equal(np.asarray(restored.accum.keys),
+                                  np.asarray(st.accum.keys))
