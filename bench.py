@@ -6,8 +6,17 @@ Bottle+Cup, fusion 0.3 / subtraction 0.06) driven from a synthetic recorded
 sequence, and reports FPS against the RTX-4090 baseline (26.25 FPS avg,
 BASELINE.md).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+Prints exactly one JSON line. The headline is the scan=4 throughput mode
+on device-staged frames; the same line carries its own caveats
+(self-qualifying record):
+  value            headline FPS (scan=4, device-staged frames)
+  weights          "trained(...)" when a weights artifact drives real
+                   detections, "random" otherwise
+  host_path_fps    same program, frames prefetched host->device per chunk
+  latency_scan1_fps  frame-at-a-time dispatch (adds the dev relay's
+                   ~25 ms/call latency that a real v5e host doesn't have)
+  device_step_ms   profiler-measured device time per frame
+Secondary modes can be skipped with RT3D_BENCH_FAST=1 (headline only).
 """
 
 import json
@@ -15,6 +24,24 @@ import os
 import sys
 
 BASELINE_FPS = 26.25  # reference avg FPS, 1 object @5mm voxel (BASELINE.md)
+
+
+def _stage_on_device(packets):
+    import jax.numpy as jnp
+
+    return [
+        type(p)(rgb=jnp.asarray(p.rgb), depth=jnp.asarray(p.depth),
+                status=p.status, index=p.index)
+        for p in packets
+    ]
+
+
+class _Loop:
+    def __init__(self, frames):
+        self.frames = frames
+
+    def get(self, i):
+        return self.frames[i % len(self.frames)]
 
 
 def main() -> int:
@@ -30,13 +57,14 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from rt3d.config import reference_2cam_config
+    from rt3d.config import reference_2cam_config, with_cameras
     from rt3d.io.synthetic import SyntheticSource
     from rt3d.pipeline.step import build_pipeline
     from rt3d.runtime.driver import PipelineDriver
 
     variant = os.environ.get("RT3D_BENCH_VARIANT", "x")
     frames = int(os.environ.get("RT3D_BENCH_FRAMES", "160"))
+    fast = bool(os.environ.get("RT3D_BENCH_FAST"))
 
     cfg = reference_2cam_config()
     if variant != cfg.model.variant:
@@ -45,13 +73,27 @@ def main() -> int:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, variant=variant)
         )
+    # RT3D_BENCH_TRACKER=botsort measures the BoT-SORT extensions' device
+    # cost (detector-feature ReID pooling + affine GMC at HD720) — the
+    # reference's `botsort.yaml:14-19` configuration
+    tracker = os.environ.get("RT3D_BENCH_TRACKER", "bytetrack")
+    if tracker == "botsort":
+        import dataclasses
 
-    pipe = build_pipeline(cfg)
-    params = pipe.model.init(jax.random.PRNGKey(0))
-    if cfg.model.weights and os.path.exists(cfg.model.weights):
-        from rt3d.models.yolo.convert import load_params
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(
+                cfg.tracker, tracker_type="botsort", with_reid=True,
+                gmc=True),
+        )
 
-        params = {k: jax.numpy.asarray(v) for k, v in load_params(cfg.model.weights).items()}
+    # trained weights make the benched pipeline a WORKING detector (real
+    # detections -> real fusion/SOR/subtraction work); random init leaves
+    # the object path idle. Default to the in-repo artifact for the
+    # benched variant when one exists (tools/train_synth.py produces it).
+    root = os.path.dirname(os.path.abspath(__file__))
+    wpath = cfg.model.weights or os.path.join(
+        root, "weights", f"yolo11{variant}_synth_seg.npz")
+    weights_kind = "random"
 
     # synthetic HD720 2-cam sequence with one moving object (the baseline's
     # 1-object configuration). Frames are pre-rendered on the host and
@@ -62,35 +104,52 @@ def main() -> int:
     # measured 2026-08-16; the 13 MB frame pair then costs ~10x the whole
     # device step, swamping the metric with a relay artifact no real v5e
     # host has (real hosts DMA this in ~1.5 ms, hidden by the driver's
-    # prefetch thread). RT3D_BENCH_HOST_PATH=1 exercises the true
+    # prefetch thread). host_path_fps below exercises the true
     # host->device prefetch path anyway, for runs on healthy hosts.
-    import jax.numpy as jnp
 
     # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
     # chip — the camera axis also shards over a mesh (tests/test_multihost)
     cams = int(os.environ.get("RT3D_BENCH_CAMS", "2"))
+    # RT3D_BENCH_VOXEL_MM=1 exercises the BASELINE stretch voxel size. At
+    # 1 mm nearly every depth pixel maps to a distinct voxel, so the
+    # capacities must grow to the ray counts: 640x360 strided rays/cam for
+    # the workspace, mask-pixel counts for objects. The packed int32 voxel
+    # key doesn't fit at 1 mm (5121^3 cells) — the lexicographic 3-key
+    # sort fallback engages automatically (tests/test_scaling.py).
+    voxel_mm = float(os.environ.get("RT3D_BENCH_VOXEL_MM", "5"))
+    if voxel_mm != 5.0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                voxel_size=voxel_mm / 1000.0,
+                max_points_workspace=262144,
+                max_points_workspace_fused=262144 * cams,
+                max_union_voxels=65536,
+                max_points_per_object=8192,
+                max_points_fused_object=16384,
+                max_points_fused_flat=32768,
+            ),
+        )
     src = SyntheticSource(num_cameras=cams, num_frames=16, hw=(720, 1280),
                           num_objects=1)
     # calibration comes from the source, like the reference reads it from
     # the ZED SDK (`2cams.py:90-124`) — real fusion/SOR work happens
-    from rt3d.config import with_cameras
-
     cfg = with_cameras(cfg, src.cameras())
     pipe = build_pipeline(cfg)
-    packets = [src.get(i) for i in range(16)]
-    if not os.environ.get("RT3D_BENCH_HOST_PATH"):
-        packets = [
-            type(p)(rgb=jnp.asarray(p.rgb), depth=jnp.asarray(p.depth),
-                    status=p.status, index=p.index)
-            for p in packets
-        ]
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    if os.path.exists(wpath) and not os.environ.get("RT3D_BENCH_RANDOM"):
+        from rt3d.models.yolo.convert import load_params
 
-    class Pre:
-        def __init__(self):
-            self.frames = packets
+        params = {k: jax.numpy.asarray(v, jax.numpy.float32)
+                  for k, v in load_params(wpath).items()}
+        weights_kind = f"trained({os.path.basename(wpath)})"
 
-        def get(self, i):
-            return self.frames[i % len(self.frames)]
+    host_packets = [src.get(i) for i in range(16)]
+    packets = (host_packets if os.environ.get("RT3D_BENCH_HOST_PATH")
+               else _stage_on_device(host_packets))
 
     # pipeline_depth=3: double-buffered execution (block on frame i-2 while
     # frame i dispatches). Hides the dev-tunnel's ~25 ms per-call round-trip
@@ -100,20 +159,71 @@ def main() -> int:
     # scan>1 = throughput mode: K frames per dispatch (lax.scan over the
     # step), amortizing the relay's per-call overhead K ways. Adds K-1
     # frames of latency, like any in-flight queue; device work per frame is
-    # identical (tools/trace_fused.py measures it).
+    # identical (device_step_ms measures it).
     scan = int(os.environ.get("RT3D_BENCH_SCAN", "4"))
     driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=depth,
                             frames_per_dispatch=scan)
     # the first few post-compile executions run slow on the relay; keep
     # them out of the measured window (warmup is in frames)
-    res = driver.run(Pre(), num_frames=frames, warmup=max(5, 6 * scan))
+    res = driver.run(_Loop(packets), num_frames=frames,
+                     warmup=max(5, 6 * scan))
 
     result = {
-        "metric": f"e2e_fps_{cams}cam_5mm_yolo11{variant}_tpu_v5e",
+        "metric": (f"e2e_fps_{cams}cam_{voxel_mm:g}mm_yolo11{variant}"
+                   "_tpu_v5e"),
         "value": round(res.mean_fps, 2),
         "unit": "fps",
         "vs_baseline": round(res.mean_fps / BASELINE_FPS, 3),
+        "weights": weights_kind,
+        "mode": f"scan={scan} depth={depth} device-staged"
+                + ("" if tracker == "bytetrack" else f" tracker={tracker}"),
     }
+    if res.last_outputs is not None:
+        # capacity audit: dropped points anywhere in the pipeline show up
+        # here (the stretch configs are validated by overflow == 0)
+        result["overflow_last_frame"] = int(res.last_outputs.overflow)
+
+    if not fast:
+        # --- device time per frame, measured on-device (profiler) -------
+        try:
+            from rt3d.runtime.profiling import profile_op_times
+
+            import jax.numpy as jnp
+
+            state0 = driver.state
+            calib = driver.calib
+            k_rgb = jnp.stack([packets[i].rgb if hasattr(packets[i].rgb, "device")
+                               else jnp.asarray(packets[i].rgb)
+                               for i in range(scan)])
+            k_depth = jnp.stack([packets[i].depth if hasattr(packets[i].depth, "device")
+                                 else jnp.asarray(packets[i].depth)
+                                 for i in range(scan)])
+            good = jnp.ones((scan,), bool)
+
+            def once():
+                _, out = driver._step_scan(
+                    driver.params, state0, k_rgb, k_depth, calib, good)
+                return out.workspace.valid
+
+            total_ms, _ = profile_op_times(once, iters=3)
+            result["device_step_ms"] = round(total_ms / scan, 2)
+        except Exception as e:  # profiling must never sink the bench
+            result["device_step_ms"] = None
+            result["device_step_err"] = repr(e)[:120]
+
+        # --- host-path: frames cross host->device via the prefetch ------
+        drv_h = PipelineDriver(pipe, params, mode="fused",
+                               pipeline_depth=depth, frames_per_dispatch=scan)
+        res_h = drv_h.run(_Loop(host_packets), num_frames=min(frames, 64),
+                          warmup=2 * scan)
+        result["host_path_fps"] = round(res_h.mean_fps, 2)
+
+        # --- latency mode: scan=1, shallow queue (true per-frame path) --
+        drv_l = PipelineDriver(pipe, params, mode="fused", pipeline_depth=2,
+                               frames_per_dispatch=1)
+        res_l = drv_l.run(_Loop(packets), num_frames=min(frames, 48), warmup=6)
+        result["latency_scan1_fps"] = round(res_l.mean_fps, 2)
+
     print(json.dumps(result))
     return 0
 

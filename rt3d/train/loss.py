@@ -16,28 +16,58 @@ import jax.numpy as jnp
 
 from rt3d.models.yolo.model import REG_MAX, YoloSeg
 
+PROTO_STRIDE = 4
+
 
 def seg_detection_loss(
     model: YoloSeg,
     params,
     images: jax.Array,        # (B, H, W, 3)
     targets: Dict[str, jax.Array],
+    num_mask_anchors: int = 32,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """targets:
     cls:    (B, A, nc)  {0,1} per-anchor class labels
     box:    (B, A, 4)   ltrb distances in stride units, clipped to REG_MAX-1
     box_w:  (B, A)      anchor assignment weights (0 = background)
-    mask:   (B, hp, wp) {0,1} target foreground map (prototype supervision)
+    and then ONE of the two mask-supervision schemes:
+    mask:   (B, hp, wp) {0,1} foreground map — legacy prototype-channel-0
+            supervision (gradient-flow smoke tests), OR
+    inst_id:   (B, A)           instance index per positive anchor (-1 bg)
+    inst_mask: (B, M, hp, wp)   per-instance masks at proto resolution
+    inst_box:  (B, M, 4)        xyxy boxes in letterboxed-input pixels
+            — the real scheme: supervises sigmoid(coeff . proto) per
+            positive anchor against its instance's mask, cropped to the
+            instance box (the YOLACT / ultralytics mask objective), which
+            is what makes `assemble_masks_retina` produce usable masks at
+            inference time.
     """
-    box_logits, cls_logits, _coeffs, protos = model.forward(params, images)
+    box_logits, cls_logits, coeffs, protos = model.forward(params, images)
     b, a, _ = cls_logits.shape
 
-    # classification: sigmoid BCE over all anchors
-    cls_t = targets["cls"]
-    bce = jnp.mean(
+    # classification: sigmoid BCE over all anchors, normalized by the
+    # positive count (the YOLOv8/11 normalizer: BCE.sum()/targets.sum()).
+    # A plain mean drowns the ~1% positive anchors in background terms at
+    # full input resolution and the model learns to score everything
+    # below the confidence threshold.
+    if "cls" in targets:
+        cls_t = targets["cls"]
+    else:
+        # rebuild the dense one-hot on device from the compact per-anchor
+        # instance assignment (the (A, nc) host array is dataset-dominant)
+        cid = jnp.take_along_axis(
+            targets["inst_cls"],
+            jnp.clip(targets["inst_id"], 0, None), axis=1,
+        )                                                       # (B, A)
+        cls_t = (
+            jax.nn.one_hot(cid, cls_logits.shape[-1], dtype=jnp.float32)
+            * (targets["box_w"] > 0)[..., None]
+        )
+    num_pos = jnp.maximum(jnp.sum(cls_t), 1.0)
+    bce = jnp.sum(
         jnp.maximum(cls_logits, 0) - cls_logits * cls_t
         + jnp.log1p(jnp.exp(-jnp.abs(cls_logits)))
-    )
+    ) / num_pos
 
     # box: cross-entropy of the DFL distribution against integer bin targets
     box_t = jnp.clip(targets["box"], 0, REG_MAX - 1 - 1e-3)
@@ -53,13 +83,67 @@ def seg_detection_loss(
     w = targets["box_w"]
     box_loss = jnp.sum(ce.mean(axis=-1) * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    # prototype supervision: BCE of the first prototype channel vs target map
-    proto_logit = protos[..., 0]
-    m = targets["mask"]
-    proto_loss = jnp.mean(
-        jnp.maximum(proto_logit, 0) - proto_logit * m
-        + jnp.log1p(jnp.exp(-jnp.abs(proto_logit)))
-    )
+    if "inst_mask" in targets:
+        proto_loss = _instance_mask_loss(
+            coeffs, protos, targets, num_mask_anchors
+        )
+    else:
+        # legacy: BCE of the first prototype channel vs a foreground map
+        proto_logit = protos[..., 0]
+        m = targets["mask"]
+        proto_loss = jnp.mean(
+            jnp.maximum(proto_logit, 0) - proto_logit * m
+            + jnp.log1p(jnp.exp(-jnp.abs(proto_logit)))
+        )
 
     loss = bce + box_loss + 0.5 * proto_loss
     return loss, {"cls": bce, "box": box_loss, "proto": proto_loss}
+
+
+def _bce(logit: jax.Array, target: jax.Array) -> jax.Array:
+    return (jnp.maximum(logit, 0) - logit * target
+            + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+
+
+def _instance_mask_loss(
+    coeffs: jax.Array,   # (B, A, nm)
+    protos: jax.Array,   # (B, hp, wp, nm)
+    targets: Dict[str, jax.Array],
+    k: int,
+) -> jax.Array:
+    """Per-anchor assembled-mask BCE, box-cropped and area-normalized.
+
+    A static top-k of positive anchors per image keeps shapes fixed (TPU):
+    k anchors x (hp, wp) assembled masks is ~k/4 the pixels of one frame —
+    cheap next to the backbone. Anchors beyond the positive count carry
+    zero weight and vanish from the mean.
+    """
+    b, a, nm = coeffs.shape
+    _, hp, wp, _ = protos.shape
+    w = targets["box_w"]                      # (B, A)
+    k = min(k, a)
+    wk, idx = jax.lax.top_k(w, k)             # (B, k) picks positives first
+    sel_c = jnp.take_along_axis(coeffs, idx[..., None], axis=1)   # (B,k,nm)
+    sel_i = jnp.clip(
+        jnp.take_along_axis(targets["inst_id"], idx, axis=1), 0, None
+    )                                                              # (B,k)
+    logits = jnp.einsum(
+        "bkn,bhwn->bkhw", sel_c, protos,
+        preferred_element_type=jnp.float32,
+    )
+    gt = jnp.take_along_axis(
+        targets["inst_mask"], sel_i[:, :, None, None], axis=1
+    )                                                              # (B,k,hp,wp)
+    boxes = jnp.take_along_axis(
+        targets["inst_box"], sel_i[:, :, None], axis=1
+    ) / PROTO_STRIDE                                               # (B,k,4)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 0) + 0.5
+    xs = jax.lax.broadcasted_iota(jnp.float32, (hp, wp), 1) + 0.5
+    x1, y1, x2, y2 = (boxes[..., i][..., None, None] for i in range(4))
+    inbox = ((xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)).astype(
+        jnp.float32
+    )
+    px = _bce(logits, gt) * inbox                                  # (B,k,hp,wp)
+    area = jnp.maximum((x2 - x1) * (y2 - y1), 1.0)[..., 0, 0]      # (B,k)
+    per_anchor = px.sum(axis=(-1, -2)) / area                      # (B,k)
+    return jnp.sum(per_anchor * wk) / jnp.maximum(jnp.sum(wk), 1.0)
