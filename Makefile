@@ -1,6 +1,6 @@
 # rt3d build + test entry points
 
-.PHONY: native test test-fast bench demo e2e clean
+.PHONY: native test test-fast bench demo e2e train-weights clean
 
 native:
 	g++ -O2 -shared -fPIC -o native/librt3d_replayer.so native/replayer.cpp -lpthread
@@ -23,6 +23,14 @@ bench:
 
 demo:
 	PYTHONPATH=.:$$PYTHONPATH python tools/demo_geometry.py
+
+# retrain the in-repo weight artifacts on the TPU (zero-egress analog of
+# downloading the reference's published checkpoints; see README)
+train-weights:
+	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py \
+	  --steps 6000 --scenes 40 --out weights/yolo11n_synth_seg.npz
+	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py --variant x \
+	  --steps 3000 --scenes 40 --lr 5e-4 --out weights/yolo11x_synth_seg.npz
 
 # the L4 loop end to end on the device backend: record a synthetic HD720
 # sequence -> replay it through the C++ mmap replayer into the full

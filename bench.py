@@ -190,7 +190,6 @@ def main() -> int:
 
             import jax.numpy as jnp
 
-            state0 = driver.state
             calib = driver.calib
             k_rgb = jnp.stack([packets[i].rgb if hasattr(packets[i].rgb, "device")
                                else jnp.asarray(packets[i].rgb)
@@ -201,8 +200,11 @@ def main() -> int:
             good = jnp.ones((scan,), bool)
 
             def once():
+                # _step_scan donates its state arg — hand it a fresh copy
+                # each call (tiny pytree; the copies are noise in the trace)
+                st = jax.tree_util.tree_map(jax.numpy.copy, driver.state)
                 _, out = driver._step_scan(
-                    driver.params, state0, k_rgb, k_depth, calib, good)
+                    driver.params, st, k_rgb, k_depth, calib, good)
                 return out.workspace.valid
 
             total_ms, _ = profile_op_times(once, iters=3)

@@ -544,6 +544,21 @@ class Pipeline:
 
 def build_pipeline(cfg: Optional[Config] = None) -> Pipeline:
     cfg = cfg or Config()
+    if cfg.pipeline.workspace_accumulate:
+        from rt3d.geometry.ops import packed_fits
+
+        if not packed_fits(cfg.pipeline.voxel_size,
+                           cfg.pipeline.dedupe_bound_m):
+            # the accumulator keys voxels as packed int32 (sorted-set
+            # merge); 1 mm over +-2.56 m needs 37 bits and would overflow
+            # silently. Refuse rather than corrupt.
+            raise ValueError(
+                "workspace_accumulate needs the packed voxel grid: "
+                f"voxel_size={cfg.pipeline.voxel_size} with "
+                f"dedupe_bound_m={cfg.pipeline.dedupe_bound_m} exceeds "
+                "int32 keys; use a coarser accumulation voxel or a "
+                "tighter bound"
+            )
     model = YoloSeg(
         variant=cfg.model.variant,
         num_classes=cfg.model.num_classes,

@@ -22,12 +22,28 @@ def main():
     import dataclasses
 
     variant = os.environ.get("RT3D_DEMO_VARIANT", "n")
+    cams = int(os.environ.get("RT3D_TRACE_CAMS", "2"))
     cfg = reference_2cam_config()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant=variant))
+    src = SyntheticSource(num_cameras=cams, num_frames=2, hw=(720, 1280),
+                          num_objects=int(os.environ.get("RT3D_TRACE_OBJECTS", "1")))
+    from rt3d.config import with_cameras
+
+    cfg = with_cameras(cfg, src.cameras())
     pipe = build_pipeline(cfg)
     params = pipe.model.init(jax.random.PRNGKey(0))
+    # RT3D_TRACE_TRAINED=1: profile with the trained artifact so the
+    # detection-dependent stages (fusion SOR, per-object dedupe) run the
+    # real workload instead of the zero-detection fast path
+    wpath = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "weights", f"yolo11{variant}_synth_seg.npz")
+    if os.environ.get("RT3D_TRACE_TRAINED") and os.path.exists(wpath):
+        from rt3d.models.yolo.convert import load_params
+
+        params = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in load_params(wpath).items()}
+        print(f"trained weights: {wpath}")
     calib = CameraCalib.from_config(cfg)
-    src = SyntheticSource(num_cameras=2, num_frames=2, hw=(720, 1280), num_objects=1)
     pkt = src.get(0)
     rgb, depth = jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth)
 

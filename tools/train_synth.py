@@ -40,6 +40,11 @@ def main() -> int:
     p.add_argument("--eval-frames", type=int, default=6)
     p.add_argument("--resume", default=None,
                    help="existing .npz to continue from")
+    p.add_argument("--warmup", type=int, default=None,
+                   help="LR warmup steps (default steps/5 capped at 100)")
+    p.add_argument("--f32", action="store_true",
+                   help="f32 compute (the BN-folded net trains in bf16 by "
+                        "default; deep variants can need f32)")
     args = p.parse_args()
 
     import jax
@@ -58,6 +63,11 @@ def main() -> int:
     from rt3d.train.data import build_synth_dataset
     from rt3d.train.loss import seg_detection_loss
     from rt3d.train.step import TrainState
+
+    if args.f32:
+        from rt3d.models.yolo.core import set_compute_dtype
+
+        set_compute_dtype(jnp.float32)
 
     hw = tuple(args.hw)
     input_hw = tuple(args.input_hw)
@@ -92,13 +102,20 @@ def main() -> int:
     jax.block_until_ready(dev)
     print("dataset staged on device", flush=True)
 
+    warmup = (args.warmup if args.warmup is not None
+              else min(100, args.steps // 5))
     optimizer = optax.chain(
+        # the BN-folded network has no normalization layers; deep variants
+        # can emit a non-finite grad spike early — drop those steps rather
+        # than poisoning the params (yolo11x NaN'd at step ~80 without it)
+        optax.zero_nans(),
         optax.clip_by_global_norm(5.0),
         optax.adamw(
             optax.warmup_cosine_decay_schedule(
-                0.0, args.lr, warmup_steps=min(100, args.steps // 5),
+                0.0, args.lr, warmup_steps=warmup,
                 decay_steps=args.steps, end_value=args.lr * 0.05,
             ),
+            b2=0.95,  # shorter second-moment memory rides out loss spikes
             weight_decay=1e-4,
         ),
     )
@@ -144,6 +161,12 @@ def main() -> int:
                   f"cls {last['cls']:.4f}  box {last['box']:.4f}  "
                   f"proto {last['proto']:.4f}  "
                   f"({(time.time() - t0):.0f}s)", flush=True)
+            if not all(map(__import__("math").isfinite, last.values())):
+                # zero_nans masks bad GRADS; a non-finite LOSS means the
+                # params themselves are gone — bail loudly, don't burn the
+                # remaining steps training nothing
+                print("non-finite loss — aborting", flush=True)
+                return 2
 
     # ---- evaluation: the pipeline's OWN detections vs analytic truth ----
     from tools.eval_synth import evaluate_weights
