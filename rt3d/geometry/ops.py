@@ -340,6 +340,27 @@ def _quantize(points: jax.Array, valid: jax.Array, voxel_size: float):
     return qx, qy, qz
 
 
+def segmented_or_scan(word: jax.Array, start: jax.Array) -> jax.Array:
+    """Inclusive segmented OR-scan: position i gets the OR of `word` over
+    its run (runs delimited by `start` flags), up to and including i.
+
+    Hillis-Steele doubling with CONTIGUOUS shifts (one pad-slice concat
+    per pass). `jax.lax.associative_scan` lowers its odd/even recursion to
+    lane-strided slices, which are gathers on TPU (~0.6 GB/s) — measured
+    0.51 ms at 131072 rows in the masks path vs ~0.15 ms for this form.
+    """
+    n = word.shape[0]
+    w, s = word, start
+    k = 1
+    while k < n:
+        wp = jnp.concatenate([jnp.zeros((k,), w.dtype), w[:-k]])
+        sp = jnp.concatenate([jnp.zeros((k,), jnp.bool_), s[:-k]])
+        w = jnp.where(s, w, wp | w)
+        s = s | sp
+        k *= 2
+    return w
+
+
 def _run_starts(sx, sy, sz):
     """Boundary flags of equal-key runs in lexicographically sorted keys."""
     same = (
@@ -609,12 +630,7 @@ def _voxel_masks_packed(points, valid, masks, voxel_size, capacity, bound_m,
     start = jnp.logical_not(skey == jnp.roll(skey, 1)).at[0].set(True)
 
     # segmented inclusive OR-scan of mask words over voxel runs
-    def comb(a, b):
-        aw, as_ = a
-        bw, bs = b
-        return (jnp.where(bs, bw, aw | bw), as_ | bs)
-
-    or_incl, _ = jax.lax.associative_scan(comb, (sword, start))
+    or_incl = segmented_or_scan(sword, start)
     prev = jnp.where(start, 0, jnp.roll(or_incl, 1))
     emit_word = sword & ~prev
     emit_word = jnp.where(skey != _INT_SENTINEL, emit_word, 0)

@@ -22,8 +22,8 @@ _BIG = 3.4e38
 _FAR = 1.0e5  # invalid refs teleport here -> d2 ~ 1e10
 
 
-def _min_d2_kernel(q_ref, r_ref, cmin_ref, cmax_ref, o_ref, *,
-                   chunk: int, num_chunks: int, thresh2: float):
+def _min_d2_kernel(q_ref, r_ref, cmin_ref, cmax_ref, rmin_ref, rmax_ref,
+                   o_ref, *, chunk: int, num_chunks: int, thresh2: float):
     q = q_ref[:]  # (TN, 3)
     # query-tile AABB for chunk pruning (FAR padding rows only widen it on
     # the final tile, which merely disables pruning there)
@@ -56,10 +56,28 @@ def _min_d2_kernel(q_ref, r_ref, cmin_ref, cmax_ref, o_ref, *,
             d2a > thresh2, lambda a: a, lambda a: compute(i, a), acc
         )
 
-    acc = jax.lax.fori_loop(
-        0, num_chunks, body, jnp.full((q.shape[0], 1), _BIG, jnp.float32)
-    )
-    o_ref[:] = jnp.maximum(acc, 0.0)
+    # whole-TILE pruning against the union AABB of all VALID refs: queries
+    # are voxel-sort ordered (lexicographic in x), so tiles are spatially
+    # coherent and most of the workspace sits farther than the threshold
+    # from the handful of object points — those tiles skip the chunk loop
+    # entirely (profiler: 0.75 -> ~0.2 ms at 64 K queries x 1 object). A
+    # pruned tile reports _BIG, which the threshold contract allows; no
+    # valid refs anywhere gives rmin=+inf and every tile prunes.
+    rmin = rmin_ref[0, :]
+    rmax = rmax_ref[0, :]
+    tgap = jnp.maximum(jnp.maximum(rmin - qmax, qmin - rmax), 0.0)
+    tile_far = jnp.sum(tgap * tgap) > thresh2
+
+    @pl.when(tile_far)
+    def _():
+        o_ref[:] = jnp.full((q.shape[0], 1), _BIG, jnp.float32)
+
+    @pl.when(jnp.logical_not(tile_far))
+    def _():
+        acc = jax.lax.fori_loop(
+            0, num_chunks, body, jnp.full((q.shape[0], 1), _BIG, jnp.float32)
+        )
+        o_ref[:] = jnp.maximum(acc, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "tile_n", "chunk"))
@@ -91,6 +109,12 @@ def min_sqdist_pallas(
     rc = r.reshape(num_chunks, chunk, 3)
     cmin = jnp.min(rc, axis=1)  # (num_chunks, 3)
     cmax = jnp.max(rc, axis=1)
+    # union AABB over VALID refs only (teleported rows would widen it to
+    # _FAR and defeat tile pruning)
+    rmin = jnp.min(jnp.where(ref_valid[:, None], refs, jnp.inf),
+                   axis=0)[None, :].astype(jnp.float32)
+    rmax = jnp.max(jnp.where(ref_valid[:, None], refs, -jnp.inf),
+                   axis=0)[None, :].astype(jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(
@@ -103,10 +127,12 @@ def min_sqdist_pallas(
             pl.BlockSpec((mp_, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_chunks, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_chunks, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, 1), jnp.float32),
-    )(q, r, cmin, cmax)
+    )(q, r, cmin, cmax, rmin, rmax)
     return out[:n, 0]
 
 
@@ -121,25 +147,40 @@ def pallas_available() -> bool:
 
 def _sor_knn_kernel(q_ref, r_ref, mean_ref, sat_ref, *, k: int):
     q = q_ref[:]                      # (TN, 3)
-    r = r_ref[:]                      # (M, 3) — invalid rows pre-teleported
-    q2 = jnp.sum(q * q, axis=1, keepdims=True)
-    r2 = jnp.sum(r * r, axis=1)
-    cross = jax.lax.dot_general(
-        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    d2 = jnp.maximum(q2 + r2[None, :] - 2.0 * cross, 0.0)  # (TN, M) in VMEM
-    m = d2.shape[1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-    acc = jnp.zeros((d2.shape[0],), jnp.float32)
-    last = jnp.zeros((d2.shape[0],), jnp.float32)
-    for _ in range(k):  # unrolled; d2 stays VMEM-resident across passes
-        mn = jnp.min(d2, axis=1)
-        idx = jnp.argmin(d2, axis=1)
-        acc = acc + jnp.sqrt(jnp.minimum(mn, 1e30))
-        last = mn
-        d2 = jnp.where(cols == idx[:, None], _BIG, d2)
-    mean_ref[:] = (acc / max(k - 1, 1))[:, None]
-    sat_ref[:] = (last >= _FAR * _FAR * 0.25).astype(jnp.float32)[:, None]
+    tn = q.shape[0]
+    # invalid rows are teleported to exactly (_FAR, _FAR, _FAR); a tile of
+    # pure padding (common: fused-object slots are 2048-padded around a
+    # few hundred voxels) skips the distance matrix and the k extraction
+    # passes. Downstream is identical: the caller overwrites saturated
+    # rows' means with _BIG anyway (rt3d/geometry/sor.py sor_inlier_mask).
+    all_far = jnp.min(q[:, 0]) >= _FAR * 0.5
+
+    @pl.when(all_far)
+    def _():
+        mean_ref[:] = jnp.full((tn, 1), _BIG, jnp.float32)
+        sat_ref[:] = jnp.ones((tn, 1), jnp.float32)
+
+    @pl.when(jnp.logical_not(all_far))
+    def _():
+        r = r_ref[:]                  # (M, 3) — invalid rows pre-teleported
+        q2 = jnp.sum(q * q, axis=1, keepdims=True)
+        r2 = jnp.sum(r * r, axis=1)
+        cross = jax.lax.dot_general(
+            q, r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = jnp.maximum(q2 + r2[None, :] - 2.0 * cross, 0.0)  # (TN, M) VMEM
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        acc = jnp.zeros((tn,), jnp.float32)
+        last = jnp.zeros((tn,), jnp.float32)
+        for _ in range(k):  # unrolled; d2 stays VMEM-resident across passes
+            mn = jnp.min(d2, axis=1)
+            idx = jnp.argmin(d2, axis=1)
+            acc = acc + jnp.sqrt(jnp.minimum(mn, 1e30))
+            last = mn
+            d2 = jnp.where(cols == idx[:, None], _BIG, d2)
+        mean_ref[:] = (acc / max(k - 1, 1))[:, None]
+        sat_ref[:] = (last >= _FAR * _FAR * 0.25).astype(jnp.float32)[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_n"))
@@ -236,33 +277,56 @@ def _window_body(cur, prev_rows, br, w, dy_max, dx_max, visit):
 
 def _window_dedupe_kernel(ka, kb, out, *, br, w, dy_max, dx_max, sentinel):
     cur = ka[:]
-    prev_rows = kb[:]
-    dup = [jnp.zeros((br, w), jnp.bool_)]
+    # an all-sentinel block (no live pixel in these rows — most of a masks
+    # grid away from the detections) is a fixed point: every dup found
+    # would be rewritten to the sentinel it already is. Skip the ~58-roll
+    # window sweep and pass the block through.
+    all_sent = jnp.min(cur) == sentinel
 
-    def visit(eq, dy, dx, _shift):
-        dup[0] = dup[0] | eq
+    @pl.when(all_sent)
+    def _():
+        out[:] = cur
 
-    _window_body(cur, prev_rows, br, w, dy_max, dx_max, visit)
-    out[:] = jnp.where(dup[0], sentinel, cur)
+    @pl.when(jnp.logical_not(all_sent))
+    def _():
+        prev_rows = kb[:]
+        dup = [jnp.zeros((br, w), jnp.bool_)]
+
+        def visit(eq, dy, dx, _shift):
+            dup[0] = dup[0] | eq
+
+        _window_body(cur, prev_rows, br, w, dy_max, dx_max, visit)
+        out[:] = jnp.where(dup[0], sentinel, cur)
 
 
-def _window_prev_or_kernel(ka, kb, wa, wb, out, *, br, w, dy_max, dx_max):
+def _window_prev_or_kernel(ka, kb, wa, wb, out, *, br, w, dy_max, dx_max,
+                           sentinel):
     cur = ka[:]
-    prev_k = kb[:]
-    wcur = wa[:]
-    wprev = wb[:]
-    por = [jnp.zeros((br, w), jnp.int32)]
-    wcache = {}
+    # all-sentinel block: no live pixel, and downstream only consumes the
+    # prev-OR word where the key is live — write zeros, skip the sweep
+    all_sent = jnp.min(cur) == sentinel
 
-    def visit(eq, dy, dx, shift):
-        if dy not in wcache:
-            wcache[dy] = wcur if dy == 0 else jnp.concatenate(
-                [wprev[br - dy:], wcur[: br - dy]], axis=0
-            )
-        por[0] = por[0] | jnp.where(eq, shift(wcache[dy]), 0)
+    @pl.when(all_sent)
+    def _():
+        out[:] = jnp.zeros((br, w), jnp.int32)
 
-    _window_body(cur, prev_k, br, w, dy_max, dx_max, visit)
-    out[:] = por[0]
+    @pl.when(jnp.logical_not(all_sent))
+    def _():
+        prev_k = kb[:]
+        wcur = wa[:]
+        wprev = wb[:]
+        por = [jnp.zeros((br, w), jnp.int32)]
+        wcache = {}
+
+        def visit(eq, dy, dx, shift):
+            if dy not in wcache:
+                wcache[dy] = wcur if dy == 0 else jnp.concatenate(
+                    [wprev[br - dy:], wcur[: br - dy]], axis=0
+                )
+            por[0] = por[0] | jnp.where(eq, shift(wcache[dy]), 0)
+
+        _window_body(cur, prev_k, br, w, dy_max, dx_max, visit)
+        out[:] = por[0]
 
 
 def window_dedupe_pallas(kg: jax.Array, sentinel: int, dy_max: int = 4,
@@ -303,7 +367,7 @@ def window_prev_or_pallas(kg: jax.Array, wg: jax.Array, dy_max: int = 4,
     wp = jnp.pad(wg, ((br, 0), (0, 0)))
     return pl.pallas_call(
         functools.partial(_window_prev_or_kernel, br=br, w=w, dy_max=dy_max,
-                          dx_max=dx_max),
+                          dx_max=dx_max, sentinel=2**31 - 1),
         grid=(h // br,),
         in_specs=[
             pl.BlockSpec((br, w), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),

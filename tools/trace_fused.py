@@ -63,6 +63,8 @@ def main():
     with gzip.open(files[-1], "rt") as fh:
         data = json.load(fh)
     agg = defaultdict(float)
+    by_source = defaultdict(float)
+    meta = {}
     total = 0.0
     for e in data.get("traceEvents", []):
         nm = e.get("name", "")
@@ -72,7 +74,32 @@ def main():
             total += e["dur"]
         elif not nm.startswith("$") and "Pjit" not in nm and "jit_" not in nm:
             agg[nm[:64]] += e["dur"]
+            if nm[:64] not in meta and e.get("args"):
+                meta[nm[:64]] = e["args"]
+            src = (e.get("args") or {}).get("source", "?")
+            by_source[src] += e["dur"]
     print(f"fused step device time: {total/1000/n:.2f} ms/frame (variant {variant})")
+    groups = defaultdict(float)
+    for name, dur in agg.items():
+        for pre in ("convolution", "fusion", "sort", "while", "copy",
+                    "cond", "dynamic", "scatter", "gather", "reduce",
+                    "dot", "transpose", "select", "iota", "broadcast",
+                    "multiply", "add", "and", "or_", "step", "Parse"):
+            if name.startswith(pre):
+                key = pre
+                break
+        else:
+            key = name.split(".")[0][:24]
+        groups[key] += dur
+    print("by group:")
+    for g, dur in sorted(groups.items(), key=lambda kv: -kv[1])[:14]:
+        print(f"  {dur/1000/n:8.3f} ms  {g}")
+    print("by source line (op cost attributed to the jaxpr source):")
+    for src, dur in sorted(by_source.items(), key=lambda kv: -kv[1])[:22]:
+        ms = dur / 1000 / n
+        if ms < 0.05:
+            break
+        print(f"  {ms:8.3f} ms  {src.replace('/root/repo/', '')}")
     print("top ops:")
     shown = 0.0
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
@@ -82,6 +109,17 @@ def main():
         shown += ms
         print(f"  {ms:8.3f} ms  {name}")
     print(f"  (shown {shown:.2f} ms)")
+    focus = os.environ.get("RT3D_TRACE_FOCUS")
+    if focus:
+        for pre in focus.split(","):
+            print(f"top '{pre}' ops:")
+            for name, dur in sorted(agg.items(), key=lambda kv: -kv[1]):
+                if not name.startswith(pre):
+                    continue
+                ms = dur / 1000 / n
+                if ms < 0.02:
+                    break
+                print(f"  {ms:8.3f} ms  {name}  {meta.get(name, '')}")
     shutil.rmtree(d, ignore_errors=True)
     return 0
 
