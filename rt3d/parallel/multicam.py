@@ -38,6 +38,17 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
     def spec_rep(tree):
         return jax.tree_util.tree_map(lambda _: P(), tree)
 
+    def state_specs(state: PipelineState):
+        # per-camera state (tracker, GMC gray frame) shards over the cam
+        # axis; the workspace accumulator is GLOBAL state — it folds the
+        # POST-FUSION workspace, so it lives replicated and is updated in
+        # the replicated section below (identical on every device).
+        return PipelineState(
+            tracker=spec_like_cam(state.tracker),
+            prev_gray=cam_p,
+            accum=spec_rep(state.accum),
+        )
+
     def local_step(params, state: PipelineState, rgb, depth, calib: CameraCalib):
         # ---- per-camera work on the local shard (usually 1 camera) ----
         images = pipeline.preprocess(rgb)
@@ -60,8 +71,27 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
             points=ws_all_pts.reshape(-1, 3), valid=ws_all_valid.reshape(-1)
         )
         ws_out = pipeline.subtract(ws_buf, flat)
+        acc_ovf = jnp.int32(0)
+        pc = pipeline.cfg.pipeline
+        if pc.workspace_accumulate:
+            from rt3d.geometry.voxel_sets import (
+                accumulate_voxels,
+                extract_accumulated,
+            )
+
+            acc, acc_ovf = accumulate_voxels(
+                state.accum, ws_out.points, ws_out.valid, pc.voxel_size,
+                pc.dedupe_bound_m, decay=pc.accum_decay,
+                obs_weight=pc.accum_obs_weight,
+            )
+            state = state.replace(accum=acc)
+            ws_out = extract_accumulated(
+                acc, pc.voxel_size, pc.dedupe_bound_m,
+                min_weight=pc.accum_min_weight,
+            )
         overflow = (
-            jax.lax.psum(jnp.sum(obj_ovf) + jnp.sum(ws_ovf), cam_axis) + flat_ovf
+            jax.lax.psum(jnp.sum(obj_ovf) + jnp.sum(ws_ovf), cam_axis)
+            + flat_ovf + acc_ovf
         )
         out = FrameOutputs(
             detections=det, track_ids=ids, objects=fused, objects_flat=flat,
@@ -74,7 +104,7 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
 
     def out_specs_for(state, out: FrameOutputs):
         return (
-            spec_like_cam(state),
+            state_specs(state),
             FrameOutputs(
                 detections=spec_like_cam(out.detections),
                 track_ids=cam_p,
@@ -115,7 +145,7 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
         mesh=mesh,
         in_specs=(
             spec_rep(abs_params),
-            spec_like_cam(state_proto),
+            state_specs(state_proto),
             cam_p,
             cam_p,
             spec_like_cam(calib_proto),
