@@ -247,8 +247,12 @@ class PipelineConfig:
     max_union_voxels: int = 8192
     max_points_per_object: int = 1024     # voxels per object after downsample
     max_points_fused_object: int = 2048   # after 2-camera vstack
-    max_points_workspace: int = 32768     # per-camera workspace voxels
-    max_points_workspace_fused: int = 65536
+    # per-camera workspace voxels. An HD720 camera 1 m above a tabletop
+    # sees ~41 K unique 5 mm voxels inside the default bounds (measured on
+    # the synthetic rig; 32768 silently dropped ~20% of the workspace
+    # every frame — surfaced by the per-frame overflow counter).
+    max_points_workspace: int = 65536
+    max_points_workspace_fused: int = 131072
     max_objects_fused: int = 40           # 2 x max_detections slots
     # capacity of the flattened all-objects buffer handed to subtraction
     # (the reference vstacks everything, `vision_pipeline_utils.py:314-318`);

@@ -250,8 +250,30 @@ class PipelineDriver:
 
         k = self.frames_per_dispatch
         uploader = ThreadPoolExecutor(max_workers=1)
+        # the `good` device operand repeats a handful of patterns (usually
+        # all-True); caching it avoids a per-chunk host->device transfer
+        get_chunk = getattr(source, "get_chunk", None)
+        good_cache: Dict[bytes, jax.Array] = {}
+
+        def _good_dev(good_np):
+            key = good_np.tobytes()
+            g = good_cache.get(key)
+            if g is None:
+                g = good_cache[key] = jnp.asarray(good_np)
+            return g
 
         def fetch_chunk(start):
+            if get_chunk is not None:
+                # chunked-replay fast path: the source serves pre-stacked
+                # (k, ...) chunk tensors (e.g. staged replay buffers),
+                # skipping the per-chunk stack dispatches — measured
+                # 2.4-8 ms/chunk on the dev relay. Padding past the run
+                # end is masked here, same as the per-frame path below.
+                rgb, depth, goods = get_chunk(start, k)
+                good_np = np.asarray(goods, bool).copy()
+                good_np[max(num_frames - start, 0):] = False
+                return jnp.asarray(rgb), jnp.asarray(depth), \
+                    _good_dev(good_np), good_np
             rgbs, depths, goods = [], [], []
             for j in range(start, min(start + k, num_frames)):
                 pkt = source.get(j)
@@ -265,11 +287,12 @@ class PipelineDriver:
             # goods returned BOTH as the device operand and as a host array:
             # reading the device copy back (np.asarray) would be a
             # synchronous ~25 ms relay round trip per chunk
+            good_np = np.asarray(goods, bool)
             return (
                 jnp.stack([jnp.asarray(r) for r in rgbs]),
                 jnp.stack([jnp.asarray(d) for d in depths]),
-                jnp.asarray(goods),
-                np.asarray(goods, bool),
+                _good_dev(good_np),
+                good_np,
             )
 
         starts = list(range(0, num_frames, k))

@@ -160,6 +160,41 @@ def test_driver_scan_mode_runs(pipe_and_params):
     assert int(driver.state.tracker.frame_id[0]) == 5
 
 
+def test_driver_scan_mode_chunk_source(pipe_and_params):
+    """A source exposing `get_chunk` (pre-stacked replay chunks, the
+    driver's chunked fast path) must match the per-frame fetch path
+    bit-for-bit, including tail padding beyond num_frames."""
+    import jax
+    from rt3d.runtime.driver import PipelineDriver
+
+    pipe, params = pipe_and_params
+    src = SyntheticSource(num_cameras=2, num_frames=6, hw=(H, W))
+
+    class ChunkSource:
+        def get_chunk(self, start, k):
+            pkts = [src.get((start + j) % 6) for j in range(k)]
+            return (np.stack([p.rgb for p in pkts]),
+                    np.stack([p.depth for p in pkts]),
+                    [True] * k)
+
+    outs = {}
+    for name, source in (("frame", src), ("chunk", ChunkSource())):
+        driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=2,
+                                frames_per_dispatch=2)
+        seen = []
+        res = driver.run(source, num_frames=5, warmup=0,
+                         on_frame=lambda i, o: seen.append(i))
+        assert seen == [0, 1, 2, 3, 4]
+        # frame 5 exists only as chunk padding: masked, never delivered
+        assert int(driver.state.tracker.frame_id[0]) == 5
+        outs[name] = res.last_outputs
+    np.testing.assert_array_equal(
+        np.asarray(outs["frame"].workspace.valid),
+        np.asarray(outs["chunk"].workspace.valid))
+    np.testing.assert_array_equal(
+        np.asarray(outs["frame"].track_ids), np.asarray(outs["chunk"].track_ids))
+
+
 def test_driver_scan_mode_skips_bad_frames(pipe_and_params, tmp_path):
     """Scan mode must honor the frame loop's bad-frame contract: on_frame
     never sees error-status frames or tail padding, last_outputs is the
