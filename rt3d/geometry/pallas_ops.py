@@ -199,6 +199,13 @@ def sor_knn_mean_pallas(
     the full matrix through HBM once per pass (~1.2 ms x k at N=2048,
     profiler-measured)."""
     n = points.shape[0]
+    # the kernel's VMEM stack is dominated by the (tile_n, N) distance tile
+    # and its iota/select temporaries (~3x d2): tile_n=256 at N=16384 needs
+    # 24 MB > the 16 MB Mosaic scoped limit (hit at the 1 mm stretch
+    # config). Halve the query tile until d2 stays under 4 MB — the default
+    # 2048-point slots keep tile_n=256 (2.1 MB) and the tuned kernel.
+    while tile_n > 8 and tile_n * (n + (-n) % tile_n) * 4 > (1 << 22):
+        tile_n //= 2
     p = jnp.where(valid[:, None], points.astype(jnp.float32), _FAR)
     pad_n = (-n) % tile_n
     q = jnp.pad(p, ((0, pad_n), (0, 0)), constant_values=_FAR)

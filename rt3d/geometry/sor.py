@@ -27,6 +27,10 @@ import jax.numpy as jnp
 from rt3d.geometry.ops import PointBuffer
 
 _BIG = jnp.float32(3.4e38)
+# largest cloud the exact O(N^2) SOR path handles; beyond this
+# sor_inlier_mask dispatches to the Morton-window approximation (see its
+# docstring for the VMEM/FLOP rationale)
+_EXACT_MAX_N = 4096
 
 
 def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -90,9 +94,19 @@ def sor_inlier_mask(
     std_ratio: float = 1.5,
     use_pallas: bool = True,
 ) -> jax.Array:
-    """Boolean inlier mask over a padded (N, 3) cloud."""
+    """Boolean inlier mask over a padded (N, 3) cloud.
+
+    Above ``_EXACT_MAX_N`` rows this dispatches to the Morton-window
+    approximation (`sor_inlier_mask_windowed`) — the same trade the
+    workspace path makes: the exact kernel's O(N^2 k) distance passes are
+    tens of ms at 16 K points and its lane-padded (N, 128) VMEM operands
+    blow the 16 MB Mosaic stack (hit at the 1 mm-voxel stretch config,
+    where fused-object slots carry 16 K points). Agreement vs exact SOR
+    is measured in tests/test_geometry_ops.py."""
     n = points.shape[0]
     k = min(nb_neighbors, n)
+    if n > _EXACT_MAX_N:
+        return sor_inlier_mask_windowed(points, valid, nb_neighbors, std_ratio)
     if use_pallas and n >= 256:
         from rt3d.geometry.pallas_ops import pallas_available, sor_knn_mean_pallas
 

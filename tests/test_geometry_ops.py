@@ -276,6 +276,27 @@ def test_sor_windowed_agreement_at_scale(rng):
     assert not (keep & ~expect).any()
 
 
+def test_sor_inlier_mask_dispatches_windowed_above_exact_scale(rng):
+    """Above _EXACT_MAX_N rows sor_inlier_mask must route to the windowed
+    approximation (the exact kernel OOMs VMEM / costs O(N^2 k) there —
+    the 1 mm stretch config's 16 K-point fused slots hit this)."""
+    from rt3d.geometry.sor import (_EXACT_MAX_N, sor_inlier_mask,
+                                   sor_inlier_mask_windowed)
+
+    n_cap = 2 * _EXACT_MAX_N
+    pts = np.zeros((n_cap, 3), np.float32)
+    n = 1500
+    pts[:n] = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    pts[:10] += 2.0  # obvious outliers
+    valid = np.zeros(n_cap, bool)
+    valid[:n] = True
+    got = np.asarray(sor_inlier_mask(jnp.asarray(pts), jnp.asarray(valid)))
+    want = np.asarray(
+        sor_inlier_mask_windowed(jnp.asarray(pts), jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, want)
+    assert not got[:10].any() and got[10:n].mean() > 0.9
+
+
 def test_subtract_matches_oracle(rng):
     ws = rng.uniform(-0.5, 0.5, (600, 3)).astype(np.float32)
     obj = ws[100:160] + rng.normal(0, 0.002, (60, 3)).astype(np.float32)

@@ -25,6 +25,23 @@ def main():
     cams = int(os.environ.get("RT3D_TRACE_CAMS", "2"))
     cfg = reference_2cam_config()
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant=variant))
+    # RT3D_TRACE_VOXEL_MM=1 profiles the stretch voxel size with the same
+    # capacity rescale bench.py applies
+    voxel_mm = float(os.environ.get("RT3D_TRACE_VOXEL_MM", "5"))
+    if voxel_mm != 5.0:
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                voxel_size=voxel_mm / 1000.0,
+                max_points_workspace=262144,
+                max_points_workspace_fused=262144 * cams,
+                max_union_voxels=65536,
+                max_points_per_object=8192,
+                max_points_fused_object=16384,
+                max_points_fused_flat=32768,
+            ),
+        )
     src = SyntheticSource(num_cameras=cams, num_frames=2, hw=(720, 1280),
                           num_objects=int(os.environ.get("RT3D_TRACE_OBJECTS", "1")))
     from rt3d.config import with_cameras
