@@ -157,6 +157,22 @@ def main() -> int:
                 max_points_fused_flat=32768,
             ),
         )
+    # RT3D_BENCH_ACCUM=1 turns on persistent workspace accumulation — the
+    # full BASELINE stretch config is CAMS=4 VOXEL_MM=1 ACCUM=1 ("4-camera
+    # fusion at 1mm voxel with persistent TSDF-style workspace
+    # accumulation"). The accumulator must hold the union of the fused
+    # workspace across frames, so its capacity tracks the fused buffer.
+    if os.environ.get("RT3D_BENCH_ACCUM"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                workspace_accumulate=True,
+                accum_capacity=cfg.pipeline.max_points_workspace_fused,
+            ),
+        )
     src = SyntheticSource(num_cameras=cams, num_frames=16, hw=(720, 1280),
                           num_objects=1)
     # calibration comes from the source, like the reference reads it from
@@ -210,7 +226,8 @@ def main() -> int:
         "vs_baseline": round(res.mean_fps / BASELINE_FPS, 3),
         "weights": weights_kind,
         "mode": f"scan={scan} depth={depth} device-staged"
-                + ("" if tracker == "bytetrack" else f" tracker={tracker}"),
+                + ("" if tracker == "bytetrack" else f" tracker={tracker}")
+                + (" accumulate" if cfg.pipeline.workspace_accumulate else ""),
         "fps_windows": [round(r.mean_fps, 2) for r in runs],
     }
     if res.last_outputs is not None:

@@ -260,6 +260,44 @@ def _decode_packed(key: jax.Array, n: int, half: int, voxel_size: float):
     return q.astype(jnp.float32) * voxel_size
 
 
+def packed2_fits(voxel_size: float, bound_m: float) -> bool:
+    """Two-word grid bound: the hi word packs (qx, qy) -> needs n^2 int32.
+    At 1 mm this holds out to ~23 m bounds — every reference config fits."""
+    n = packed_cells(voxel_size, bound_m)
+    return n * n < 2 ** 31 - 1
+
+
+def _quantize_packed2(points: jax.Array, valid: jax.Array, voxel_size: float,
+                      bound_m: float):
+    """TWO int32 words per voxel: ``hi = (qx+half)*n + (qy+half)``,
+    ``lo = qz + half``. Lexicographic order of (hi, lo) equals lexicographic
+    order of (qx, qy, qz), so a 2-operand `lax.sort` replaces the 3-key
+    fallback wherever the single-word grid overflows int32 (1 mm voxels,
+    BASELINE stretch config) — each sort operand costs ~40% (NOTES.md).
+    Out-of-range/invalid rows get the sentinel in BOTH words (sorts last,
+    never equal to an in-range pair)."""
+    n = packed_cells(voxel_size, bound_m)
+    half = (n - 1) // 2
+    q = jnp.round(points.astype(jnp.float32) / voxel_size).astype(jnp.int32)
+    in_range = jnp.all((q >= -half) & (q <= half), axis=-1) & valid
+    qo = q + half
+    hi = jnp.where(in_range, qo[..., 0] * n + qo[..., 1], _INT_SENTINEL)
+    lo = jnp.where(in_range, qo[..., 2], _INT_SENTINEL)
+    return hi, lo, n, half
+
+
+def _decode_packed2(hi: jax.Array, lo: jax.Array, n: int, half: int,
+                    voxel_size: float):
+    q = jnp.stack([hi // n, hi % n, lo], axis=-1) - half
+    return q.astype(jnp.float32) * voxel_size
+
+
+def _pair_run_starts(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Run-start flags for a (hi, lo)-sorted key pair."""
+    same = (hi == jnp.roll(hi, 1)) & (lo == jnp.roll(lo, 1))
+    return jnp.logical_not(same).at[0].set(True)
+
+
 def lower_bound(c: jax.Array, q: jax.Array) -> jax.Array:
     """First index i with c[i] >= q, for nondecreasing c. Unrolled binary
     search built from plain gathers.
@@ -389,6 +427,19 @@ def voxel_downsample(
         start = jnp.logical_not(skey == jnp.roll(skey, 1)).at[0].set(True)
         emit = start & (skey != _INT_SENTINEL)
         return _compact_emitted_keys(skey, emit, capacity, ncells, half, voxel_size)
+
+    if packed2_fits(voxel_size, bound_m):
+        # 1 mm stretch path: 2-operand sort instead of the 3-key fallback
+        hi, lo, n2, half = _quantize_packed2(points, valid, voxel_size, bound_m)
+        shi, slo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
+        emit = _pair_run_starts(shi, slo) & (shi != _INT_SENTINEL)
+        (khi, klo), count, overflow, validc = compact_scalars(
+            emit, (shi, slo), capacity
+        )
+        pts = jnp.where(
+            validc[:, None], _decode_packed2(khi, klo, n2, half, voxel_size), 0.0
+        )
+        return PointBuffer(points=pts, valid=validc), overflow
 
     qx, qy, qz = _quantize(points, valid, voxel_size)
     sx, sy, sz = jax.lax.sort((qx, qy, qz), num_keys=3)
@@ -530,6 +581,13 @@ def voxel_downsample_masks(
             stage1_capacity or default_s1,
             union_capacity or min(d * capacity, stage1_capacity or default_s1),
             grid_hw,
+        )
+    if d <= 31 and packed2_fits(voxel_size, bound_m):
+        default_s1 = max(2 * d * capacity, min(n // 4, 131072))
+        return _voxel_masks_packed2(
+            points, valid, masks, voxel_size, capacity, bound_m,
+            stage1_capacity or default_s1,
+            union_capacity or min(d * capacity, stage1_capacity or default_s1),
         )
     return _voxel_masks_lex(points, valid, masks, voxel_size, capacity)
 
@@ -675,6 +733,93 @@ def _voxel_masks_packed(points, valid, masks, voxel_size, capacity, bound_m,
     buf = PointBuffer(points=pts, valid=valid_d)
     # pre-compaction drops are unattributable to a detection; report them
     # on every detection's overflow count
+    overflow = jnp.maximum(counts - capacity, 0) + drop_a + drop2
+    return buf, overflow
+
+
+def _voxel_masks_packed2(points, valid, masks, voxel_size, capacity, bound_m,
+                         stage1_capacity, union_capacity):
+    """`_voxel_masks_packed` with the TWO-WORD voxel key (1 mm stretch path:
+    the single-word grid overflows int32). Same pipeline — bitpack D masks,
+    block-compact emitting pixels, sort the small buffer, bit-parallel
+    segmented OR-scan, per-det compact — with `num_keys=2` sorts and pair
+    equality for run detection. The image-grid windowed pre-dedupe is
+    deliberately absent: at 1 mm a voxel's image-space footprint is
+    sub-pixel, so a spatial window removes ~nothing (the 5 mm rationale in
+    `voxel_downsample_grid` inverts)."""
+    n = points.shape[0]
+    d = masks.shape[0]
+    hi, lo, ncells, half = _quantize_packed2(points, valid, voxel_size,
+                                             bound_m)
+    word = jnp.sum(
+        masks.astype(jnp.int32) << jnp.arange(d, dtype=jnp.int32)[:, None],
+        axis=0,
+    )
+    sel = (word != 0) & (hi != _INT_SENTINEL)
+    hi = jnp.where(sel, hi, _INT_SENTINEL)
+    lo = jnp.where(sel, lo, _INT_SENTINEL)
+    word = jnp.where(sel, word, 0)
+
+    blk = 128
+    pad = (-n) % blk
+    if pad:
+        hi = jnp.pad(hi, (0, pad), constant_values=_INT_SENTINEL)
+        lo = jnp.pad(lo, (0, pad), constant_values=_INT_SENTINEL)
+        word = jnp.pad(word, (0, pad))
+        sel = jnp.pad(sel, (0, pad))
+    nb = hi.shape[0] // blk
+    nb_cap = max(stage1_capacity // blk, 1)
+    sel_b = sel.reshape(nb, blk)
+    blk_any = jnp.any(sel_b, axis=1)
+    blk_cnt = jnp.sum(sel_b.astype(jnp.int32), axis=1)
+    cb = jnp.cumsum(blk_any.astype(jnp.int32))
+    bidx = lower_bound(cb, jnp.arange(1, nb_cap + 1, dtype=jnp.int32))
+    bvalid = jnp.arange(nb_cap) < jnp.minimum(cb[-1], nb_cap)
+    bsafe = jnp.clip(bidx, 0, nb - 1)
+    hi1 = jnp.where(
+        bvalid[:, None], hi.reshape(nb, blk)[bsafe], _INT_SENTINEL
+    ).reshape(-1)
+    lo1 = jnp.where(
+        bvalid[:, None], lo.reshape(nb, blk)[bsafe], _INT_SENTINEL
+    ).reshape(-1)
+    w1 = jnp.where(bvalid[:, None], word.reshape(nb, blk)[bsafe], 0).reshape(-1)
+    taken = jnp.sum(jnp.where(bvalid, blk_cnt[bsafe], 0))
+    drop_a = jnp.sum(blk_cnt) - taken
+
+    shi, slo, sword = jax.lax.sort((hi1, lo1, w1), num_keys=2,
+                                   is_stable=False)
+    start = _pair_run_starts(shi, slo)
+    or_incl = segmented_or_scan(sword, start)
+    prev = jnp.where(start, 0, jnp.roll(or_incl, 1))
+    emit_word = sword & ~prev
+    emit_word = jnp.where(shi != _INT_SENTINEL, emit_word, 0)
+
+    s2 = min(union_capacity, stage1_capacity)
+    any_emit = emit_word != 0
+    (k2h, k2l, w2), _, drop2, valid2 = compact_scalars(
+        any_emit, (shi, slo, emit_word), s2
+    )
+    k2h = jnp.where(valid2, k2h, _INT_SENTINEL)
+    k2l = jnp.where(valid2, k2l, _INT_SENTINEL)
+    w2 = jnp.where(valid2, w2, 0)
+
+    bits = ((w2[None, :] >> jnp.arange(d, dtype=jnp.int32)[:, None]) & 1) == 1
+    # per-detection member select: mask non-members to the sentinel pair and
+    # 2-key-sort along the row — members come out in lex voxel order
+    hm = jnp.where(bits, jnp.broadcast_to(k2h, (d, s2)), _INT_SENTINEL)
+    lm = jnp.where(bits, jnp.broadcast_to(k2l, (d, s2)), _INT_SENTINEL)
+    shm, slm = jax.lax.sort((hm, lm), num_keys=2, dimension=1,
+                            is_stable=False)
+    counts = jnp.sum(bits.astype(jnp.int32), axis=1)
+    countc = jnp.minimum(counts, capacity)
+    valid_d = jnp.arange(capacity)[None, :] < countc[:, None]
+    pts = jnp.where(
+        valid_d[..., None],
+        _decode_packed2(shm[:, :capacity], slm[:, :capacity], ncells, half,
+                        voxel_size),
+        0.0,
+    )
+    buf = PointBuffer(points=pts, valid=valid_d)
     overflow = jnp.maximum(counts - capacity, 0) + drop_a + drop2
     return buf, overflow
 

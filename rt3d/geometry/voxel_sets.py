@@ -15,6 +15,13 @@ accumulation (TSDF-style workspace memory).
   (exponential decay + new-observation increment), queryable as a point
   buffer above a weight threshold. The reference has no equivalent — its
   workspace cloud is rebuilt from scratch every frame.
+
+Voxel identity here is the TWO-WORD packed key (`ops._quantize_packed2`):
+``hi = (qx+half)*n + (qy+half)``, ``lo = qz + half``. One encoding for
+every voxel size — it fits int32 out to ~23 m bounds even at the 1 mm
+stretch voxel, where the single-word key overflows — at the cost of one
+extra sort operand (~40%/operand, NOTES.md) on ops that are far off the
+per-frame critical path at 5 mm.
 """
 
 from __future__ import annotations
@@ -29,10 +36,22 @@ from rt3d.geometry.ops import (
     DEFAULT_DEDUPE_BOUND_M,
     PointBuffer,
     _INT_SENTINEL,
-    _decode_packed,
-    _quantize_packed,
+    _decode_packed2,
+    _pair_run_starts,
+    _quantize_packed2,
+    packed2_fits,
     packed_cells,
 )
+
+
+def _check_fits(voxel_size: float, bound_m: float, what: str) -> None:
+    if not packed2_fits(voxel_size, bound_m):
+        raise ValueError(
+            f"{what}: voxel_size={voxel_size} with bound_m={bound_m} "
+            "overflows even the two-word packed voxel grid "
+            "(needs cells_per_axis^2 < 2^31); tighten the bound or coarsen "
+            "the voxel"
+        )
 
 
 def subtract_voxel_sets(
@@ -42,20 +61,23 @@ def subtract_voxel_sets(
     bound_m: float = DEFAULT_DEDUPE_BOUND_M,
 ) -> PointBuffer:
     """Keep workspace points whose voxel cell contains no object point."""
-    kw, _, _ = _quantize_packed(workspace.points, workspace.valid,
-                                voxel_size, bound_m)
-    ko, _, _ = _quantize_packed(objects.points, objects.valid,
-                                voxel_size, bound_m)
-    n, m = kw.shape[0], ko.shape[0]
-    keys = jnp.concatenate([ko, kw])
+    _check_fits(voxel_size, bound_m, "subtract_voxel_sets")
+    wh, wl, _, _ = _quantize_packed2(workspace.points, workspace.valid,
+                                     voxel_size, bound_m)
+    oh, ol, _, _ = _quantize_packed2(objects.points, objects.valid,
+                                     voxel_size, bound_m)
+    n, m = wh.shape[0], oh.shape[0]
+    hi = jnp.concatenate([oh, wh])
+    lo = jnp.concatenate([ol, wl])
     is_obj = jnp.concatenate([
         jnp.ones((m,), jnp.int32), jnp.zeros((n,), jnp.int32)
     ])
     src = jnp.arange(n + m, dtype=jnp.int32)
-    # stable sort on key alone keeps objects (which come first in the
-    # concat) ahead of workspace rows inside each equal-key run
-    sk, st, si = jax.lax.sort((keys, is_obj, src), num_keys=1, is_stable=True)
-    start = jnp.logical_not(sk == jnp.roll(sk, 1)).at[0].set(True)
+    # stable sort on the key pair alone keeps objects (which come first in
+    # the concat) ahead of workspace rows inside each equal-key run
+    shi, slo, st, si = jax.lax.sort((hi, lo, is_obj, src), num_keys=2,
+                                    is_stable=True)
+    start = _pair_run_starts(shi, slo)
 
     def comb(a, b):
         return (jnp.where(b[1], b[0], a[0] | b[0]), a[1] | b[1])
@@ -73,19 +95,25 @@ def subtract_voxel_sets(
 
 @struct.dataclass
 class VoxelAccumulator:
-    """Fixed-capacity persistent voxel set with per-voxel weights."""
+    """Fixed-capacity persistent voxel set with per-voxel weights.
 
-    keys: jax.Array    # (CAP,) int32, sorted ascending, sentinel = empty
-    weight: jax.Array  # (CAP,) f32
+    Keys are the two-word packed voxel id, kept (hi, lo)-sorted ascending;
+    sentinel in both words marks an empty slot.
+    """
+
+    keys_hi: jax.Array  # (CAP,) int32, sorted ascending, sentinel = empty
+    keys_lo: jax.Array  # (CAP,) int32
+    weight: jax.Array   # (CAP,) f32
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.keys_hi.shape[0]
 
     @staticmethod
     def empty(capacity: int) -> "VoxelAccumulator":
         return VoxelAccumulator(
-            keys=jnp.full((capacity,), _INT_SENTINEL, jnp.int32),
+            keys_hi=jnp.full((capacity,), _INT_SENTINEL, jnp.int32),
+            keys_lo=jnp.full((capacity,), _INT_SENTINEL, jnp.int32),
             weight=jnp.zeros((capacity,), jnp.float32),
         )
 
@@ -105,15 +133,18 @@ def accumulate_voxels(
     `obs_weight`. When the merged set exceeds capacity, the lowest-weight
     voxels are evicted (overflow count returned).
     """
+    _check_fits(voxel_size, bound_m, "accumulate_voxels")
     cap = acc.capacity
-    k_new, _, _ = _quantize_packed(points, valid, voxel_size, bound_m)
-    keys = jnp.concatenate([acc.keys, k_new])
+    nh, nl, _, _ = _quantize_packed2(points, valid, voxel_size, bound_m)
+    hi = jnp.concatenate([acc.keys_hi, nh])
+    lo = jnp.concatenate([acc.keys_lo, nl])
     w = jnp.concatenate([
         acc.weight * decay,
-        jnp.where(k_new != _INT_SENTINEL, obs_weight, 0.0),
+        jnp.where(nh != _INT_SENTINEL, obs_weight, 0.0),
     ])
-    sk, sw = jax.lax.sort((keys, w), num_keys=1, is_stable=True)
-    start = jnp.logical_not(sk == jnp.roll(sk, 1)).at[0].set(True)
+    # unstable: the segmented sum below is order-independent within a run
+    shi, slo, sw = jax.lax.sort((hi, lo, w), num_keys=2, is_stable=False)
+    start = _pair_run_starts(shi, slo)
 
     # segmented sum of weights over equal-key runs
     def comb(a, b):
@@ -124,21 +155,28 @@ def accumulate_voxels(
     )
     # run totals live at run ends (position before the next run start)
     next_start = jnp.roll(start, -1).at[-1].set(True)
-    emit = next_start & (sk != _INT_SENTINEL)
+    emit = next_start & (shi != _INT_SENTINEL)
     total_unique = jnp.sum(emit.astype(jnp.int32))
 
-    # keep the CAP highest-weight voxels: sort emitted rows by -weight,
-    # truncate, then restore key order
+    # keep the CAP highest-weight voxels: sort emitted rows by -weight
+    # (stable, so ties break by the pre-sorted key order), truncate, then
+    # restore key order
     wk = jnp.where(emit, sum_incl, -1.0)
-    _, k_by_w, w_by_w = jax.lax.sort((-wk, sk, sum_incl), num_keys=1,
-                                     is_stable=True)
+    _, h_by_w, l_by_w, w_by_w = jax.lax.sort(
+        (-wk, shi, slo, sum_incl), num_keys=1, is_stable=True
+    )
     kept_valid = jnp.arange(cap) < jnp.minimum(total_unique, cap)
-    k_kept = jnp.where(kept_valid, k_by_w[:cap], _INT_SENTINEL)
+    h_kept = jnp.where(kept_valid, h_by_w[:cap], _INT_SENTINEL)
+    l_kept = jnp.where(kept_valid, l_by_w[:cap], _INT_SENTINEL)
     w_kept = jnp.where(kept_valid, w_by_w[:cap], 0.0)
-    k_final, w_final = jax.lax.sort((k_kept, w_kept), num_keys=1,
-                                    is_stable=True)
+    h_final, l_final, w_final = jax.lax.sort(
+        (h_kept, l_kept, w_kept), num_keys=2, is_stable=False
+    )
     overflow = jnp.maximum(total_unique - cap, 0)
-    return VoxelAccumulator(keys=k_final, weight=w_final), overflow
+    return (
+        VoxelAccumulator(keys_hi=h_final, keys_lo=l_final, weight=w_final),
+        overflow,
+    )
 
 
 def extract_accumulated(
@@ -150,8 +188,10 @@ def extract_accumulated(
     """Voxels with weight >= min_weight as a point buffer (robot frame)."""
     n = packed_cells(voxel_size, bound_m)
     half = (n - 1) // 2
-    ok = (acc.keys != _INT_SENTINEL) & (acc.weight >= min_weight)
+    ok = (acc.keys_hi != _INT_SENTINEL) & (acc.weight >= min_weight)
     pts = jnp.where(
-        ok[:, None], _decode_packed(acc.keys, n, half, voxel_size), 0.0
+        ok[:, None],
+        _decode_packed2(acc.keys_hi, acc.keys_lo, n, half, voxel_size),
+        0.0,
     )
     return PointBuffer(points=pts, valid=ok)

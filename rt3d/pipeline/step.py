@@ -545,18 +545,18 @@ class Pipeline:
 def build_pipeline(cfg: Optional[Config] = None) -> Pipeline:
     cfg = cfg or Config()
     if cfg.pipeline.workspace_accumulate:
-        from rt3d.geometry.ops import packed_fits
+        from rt3d.geometry.ops import packed2_fits
 
-        if not packed_fits(cfg.pipeline.voxel_size,
-                           cfg.pipeline.dedupe_bound_m):
-            # the accumulator keys voxels as packed int32 (sorted-set
-            # merge); 1 mm over +-2.56 m needs 37 bits and would overflow
-            # silently. Refuse rather than corrupt.
+        if not packed2_fits(cfg.pipeline.voxel_size,
+                            cfg.pipeline.dedupe_bound_m):
+            # the accumulator keys voxels as the TWO-WORD packed pair
+            # (sorted-set merge; fits int32 out to ~23 m bounds at 1 mm).
+            # Beyond that, refuse rather than corrupt.
             raise ValueError(
-                "workspace_accumulate needs the packed voxel grid: "
-                f"voxel_size={cfg.pipeline.voxel_size} with "
-                f"dedupe_bound_m={cfg.pipeline.dedupe_bound_m} exceeds "
-                "int32 keys; use a coarser accumulation voxel or a "
+                "workspace_accumulate needs the two-word packed voxel "
+                f"grid: voxel_size={cfg.pipeline.voxel_size} with "
+                f"dedupe_bound_m={cfg.pipeline.dedupe_bound_m} overflows "
+                "int32 key words; use a coarser accumulation voxel or a "
                 "tighter bound"
             )
     model = YoloSeg(

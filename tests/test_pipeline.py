@@ -346,13 +346,17 @@ def test_workspace_accumulation_scan_and_checkpoint(tmp_path):
         new_st, _ = step(params, st, rgb[i], depth[i], calib)
         if bool(good[i]):
             st = new_st
-    np.testing.assert_array_equal(np.asarray(st_scan.accum.keys),
-                                  np.asarray(st.accum.keys))
+    np.testing.assert_array_equal(np.asarray(st_scan.accum.keys_hi),
+                                  np.asarray(st.accum.keys_hi))
+    np.testing.assert_array_equal(np.asarray(st_scan.accum.keys_lo),
+                                  np.asarray(st.accum.keys_lo))
     np.testing.assert_allclose(np.asarray(st_scan.accum.weight),
                                np.asarray(st.accum.weight), rtol=1e-6)
 
     ckpt = str(tmp_path / "state.npz")
     save_pytree(ckpt, st)
     restored = load_pytree(ckpt, jax.eval_shape(pipe.init_state))
-    np.testing.assert_array_equal(np.asarray(restored.accum.keys),
-                                  np.asarray(st.accum.keys))
+    np.testing.assert_array_equal(np.asarray(restored.accum.keys_hi),
+                                  np.asarray(st.accum.keys_hi))
+    np.testing.assert_array_equal(np.asarray(restored.accum.keys_lo),
+                                  np.asarray(st.accum.keys_lo))

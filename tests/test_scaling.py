@@ -38,13 +38,15 @@ def test_four_camera_pipeline_and_fusion():
     assert int(out.workspace.count) > 400
 
 
-def test_one_mm_voxel_uses_lex_fallback(rng):
-    """1 mm voxels with the default ±2.56 m bound exceed int32 packing —
-    the lexicographic multi-key path must engage with identical semantics."""
-    from rt3d.geometry.ops import packed_fits, voxel_downsample
+def test_one_mm_voxel_uses_two_word_packed(rng):
+    """1 mm voxels with the default ±2.56 m bound exceed single-word int32
+    packing — the TWO-WORD packed path must engage with identical
+    semantics (2-operand sort instead of the 3-key lex fallback)."""
+    from rt3d.geometry.ops import packed_fits, packed2_fits, voxel_downsample
     from tests import oracles
 
     assert not packed_fits(0.001, 2.56)
+    assert packed2_fits(0.001, 2.56)
     assert packed_fits(0.005, 2.56)
 
     pts = rng.uniform(-0.2, 0.2, (500, 3)).astype(np.float32)
@@ -70,6 +72,105 @@ def test_one_mm_voxel_packed_with_tight_bounds(rng):
     got = np.asarray(buf.points)[np.asarray(buf.valid)]
     expect = oracles.voxel_downsample_oracle(pts, 0.001)
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-7)
+
+
+def test_one_mm_masks_two_word_parity(rng):
+    """The batched masks dedupe at 1 mm (two-word packed path) must match
+    per-mask oracle downsamples exactly."""
+    from rt3d.geometry.ops import voxel_downsample_masks
+    from tests import oracles
+
+    n, d = 3000, 5
+    pts = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    pts[1000:1500] = pts[:500]  # cross-mask duplicates
+    valid = rng.uniform(size=n) > 0.1
+    masks = rng.uniform(size=(d, n)) > 0.6
+    buf, ovf = voxel_downsample_masks(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(masks),
+        0.001, 2048, bound_m=2.56,
+    )
+    assert np.all(np.asarray(ovf) == 0)
+    for k in range(d):
+        got = np.asarray(buf.points[k])[np.asarray(buf.valid[k])]
+        sel = masks[k] & valid
+        expect = oracles.voxel_downsample_oracle(pts[sel], 0.001)
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-7)
+
+
+def test_one_mm_subtract_voxel_sets(rng):
+    """Voxel-set subtraction at 1 mm: the single-word key would silently
+    alias cells; the two-word path must match a python set-difference."""
+    from rt3d.geometry.ops import PointBuffer
+    from rt3d.geometry.voxel_sets import subtract_voxel_sets
+
+    ws = rng.uniform(-0.4, 0.4, (800, 3)).astype(np.float32)
+    objs = np.vstack([ws[100:200] + rng.normal(0, 2e-5, (100, 3)),
+                      rng.uniform(-0.4, 0.4, (50, 3))]).astype(np.float32)
+    wsv = np.ones(800, bool)
+    obv = np.ones(150, bool)
+    out = subtract_voxel_sets(
+        PointBuffer(points=jnp.asarray(ws), valid=jnp.asarray(wsv)),
+        PointBuffer(points=jnp.asarray(objs), valid=jnp.asarray(obv)),
+        0.001,
+    )
+
+    def cells(p):
+        return set(map(tuple, np.round(p / 0.001).astype(np.int64)))
+
+    poisoned = cells(objs)
+    expect_keep = np.array([tuple(c) not in poisoned
+                            for c in np.round(ws / 0.001).astype(np.int64)])
+    np.testing.assert_array_equal(np.asarray(out.valid), expect_keep)
+
+
+def test_one_mm_accumulator(rng):
+    """Persistent accumulation at 1 mm (the BASELINE stretch config pairs
+    1 mm with accumulation — previously refused at build time)."""
+    from rt3d.geometry.voxel_sets import (
+        VoxelAccumulator, accumulate_voxels, extract_accumulated,
+    )
+
+    pts = rng.uniform(-0.2, 0.2, (300, 3)).astype(np.float32)
+    uniq = np.unique(np.round(pts / 0.001), axis=0)
+    acc = VoxelAccumulator.empty(1024)
+    for _ in range(2):
+        acc, ovf = accumulate_voxels(acc, jnp.asarray(pts),
+                                     jnp.ones(300, bool), 0.001,
+                                     decay=0.9, obs_weight=1.0)
+        assert int(ovf) == 0
+    out = extract_accumulated(acc, 0.001, min_weight=1.5)
+    got = np.asarray(out.points)[np.asarray(out.valid)]
+    # every voxel seen twice: weight = 1*0.9 + 1 = 1.9 >= 1.5
+    assert got.shape[0] == uniq.shape[0]
+    np.testing.assert_allclose(
+        np.sort(got, axis=0), np.sort(uniq * 0.001, axis=0),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_one_mm_accumulate_pipeline_builds():
+    """build_pipeline accepts accumulate + 1 mm now (two-word keys) and a
+    step executes."""
+    from rt3d.io.synthetic import SyntheticSource
+    from rt3d.pipeline.step import CameraCalib, build_pipeline
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(
+            cfg.pipeline, voxel_size=0.001, workspace_accumulate=True,
+            accum_capacity=8192,
+        ),
+    )
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    calib = CameraCalib.from_config(cfg)
+    src = SyntheticSource(num_cameras=2, num_frames=1, hw=(H, W))
+    pkt = src.get(0)
+    state, out = jax.jit(pipe.step)(
+        params, pipe.init_state(), jnp.asarray(pkt.rgb),
+        jnp.asarray(pkt.depth), calib)
+    assert int(out.workspace.count) > 0
+    assert int(np.asarray(state.accum.keys_hi != np.iinfo(np.int32).max).sum()) > 0
 
 
 def test_pipeline_state_checkpoint_roundtrip(tmp_path):
