@@ -42,6 +42,17 @@ def main():
                 max_points_fused_flat=32768,
             ),
         )
+    # RT3D_TRACE_ACCUM=1: profile the persistent-accumulation step (the
+    # BASELINE stretch config pairs it with CAMS=4 VOXEL_MM=1)
+    if os.environ.get("RT3D_TRACE_ACCUM"):
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                workspace_accumulate=True,
+                accum_capacity=cfg.pipeline.max_points_workspace_fused,
+            ),
+        )
     src = SyntheticSource(num_cameras=cams, num_frames=2, hw=(720, 1280),
                           num_objects=int(os.environ.get("RT3D_TRACE_OBJECTS", "1")))
     from rt3d.config import with_cameras
