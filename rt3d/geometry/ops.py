@@ -336,8 +336,15 @@ def compact_scalars(emit: jax.Array, payloads, capacity: int):
     Returns (compacted_payload_tuple, count, overflow).
     """
     n = emit.shape[0]
-    flag = jnp.logical_not(emit).astype(jnp.int32)
-    sorted_ops = jax.lax.sort((flag, *payloads), num_keys=1, is_stable=True)
+    # flag and rank fused into ONE unique int32 key (emitted rows sort to
+    # the front, input order preserved within each class) so the sort can
+    # be UNSTABLE — a stable flag sort would carry an implicit iota payload
+    # (~+40% per extra operand, NOTES.md). Unique keys make the unstable
+    # result identical to the stable one.
+    assert n < (1 << 30), "fused flag|rank key needs 2n < 2^31"
+    rank = jax.lax.iota(jnp.int32, n)
+    key = rank + jnp.where(emit, 0, jnp.int32(n))
+    sorted_ops = jax.lax.sort((key, *payloads), num_keys=1, is_stable=False)
     total = jnp.sum(emit.astype(jnp.int32))
     count = jnp.minimum(total, capacity)
     valid = jnp.arange(capacity) < count
@@ -426,6 +433,18 @@ def voxel_downsample(
         (skey,) = jax.lax.sort((key,), num_keys=1)
         start = jnp.logical_not(skey == jnp.roll(skey, 1)).at[0].set(True)
         emit = start & (skey != _INT_SENTINEL)
+        if capacity >= skey.shape[0]:
+            # nothing can be dropped: the deduped rows ARE the output (valid
+            # mask non-contiguous, like voxel_downsample_grid's fast path) —
+            # skips the whole compaction sort
+            pad = capacity - skey.shape[0]
+            if pad:
+                skey = jnp.pad(skey, (0, pad), constant_values=_INT_SENTINEL)
+                emit = jnp.pad(emit, (0, pad))
+            pts = jnp.where(
+                emit[:, None], _decode_packed(skey, ncells, half, voxel_size), 0.0
+            )
+            return PointBuffer(points=pts, valid=emit), jnp.int32(0)
         return _compact_emitted_keys(skey, emit, capacity, ncells, half, voxel_size)
 
     if packed2_fits(voxel_size, bound_m):
@@ -433,6 +452,18 @@ def voxel_downsample(
         hi, lo, n2, half = _quantize_packed2(points, valid, voxel_size, bound_m)
         shi, slo = jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
         emit = _pair_run_starts(shi, slo) & (shi != _INT_SENTINEL)
+        if capacity >= shi.shape[0]:
+            # capacity covers the input (the 1 mm workspace sizing): skip
+            # the compaction sort, return the deduped rows in place
+            pad = capacity - shi.shape[0]
+            if pad:
+                shi = jnp.pad(shi, (0, pad), constant_values=_INT_SENTINEL)
+                slo = jnp.pad(slo, (0, pad), constant_values=_INT_SENTINEL)
+                emit = jnp.pad(emit, (0, pad))
+            pts = jnp.where(
+                emit[:, None], _decode_packed2(shi, slo, n2, half, voxel_size), 0.0
+            )
+            return PointBuffer(points=pts, valid=emit), jnp.int32(0)
         (khi, klo), count, overflow, validc = compact_scalars(
             emit, (shi, slo), capacity
         )

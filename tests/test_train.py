@@ -48,17 +48,20 @@ def test_overfit_single_box():
         "box_w": jnp.asarray(w)[None],
         "mask": jnp.asarray(mask_t),
     }
-    losses = []
+    losses, cls_hist = [], []
     for _ in range(200):
         state, metrics = step_fn(state, batch)
         losses.append(float(metrics["loss"]))
+        cls_hist.append(float(metrics["cls"]))
     assert np.isfinite(losses).all()
     # the DFL box CE has an entropy floor (soft two-bin targets), so total
-    # loss halves rather than vanishes; classification drives to ~0.1
+    # loss halves rather than vanishes; classification drives toward its
+    # own floor (sum/num_pos normalization keeps ~500 negative-anchor BCE
+    # terms over ~18 positives in the metric, so the absolute value stays
+    # O(1) even converged — assert the DECREASE, not an absolute endpoint;
+    # fp partitioning differences across device counts perturb trajectories)
     assert losses[-1] < 0.6 * losses[0], (losses[0], losses[-1])
-    # fp partitioning differences across device counts perturb the exact
-    # trajectory; assert clear learning, not a precise endpoint
-    assert float(metrics["cls"]) < 0.35
+    assert cls_hist[-1] < 0.15 * cls_hist[0], (cls_hist[0], cls_hist[-1])
 
     # the trained model should now score the positive region's class higher
     from rt3d.models.yolo.postprocess import decode_predictions
