@@ -171,6 +171,9 @@ def main() -> int:
                 cfg.pipeline,
                 workspace_accumulate=True,
                 accum_capacity=cfg.pipeline.max_points_workspace_fused,
+                # the accumulator merge is the global dedupe; per-camera
+                # pre-dedupe sorts are redundant here (config.py rationale)
+                accum_skip_prededupe=True,
             ),
         )
     src = SyntheticSource(num_cameras=cams, num_frames=16, hw=(720, 1280),

@@ -53,6 +53,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="persistent TSDF-style workspace accumulation: the "
                         "published workspace cloud is a decaying weighted "
                         "voxel set instead of a per-frame rebuild")
+    p.add_argument("--accum-raw", action="store_true",
+                   help="with --accumulate: feed raw workspace rays to the "
+                        "accumulator and let its merge do the (single, "
+                        "global) voxel dedupe — skips the per-camera dedupe "
+                        "sorts; voxel weights count ray support")
 
 
 def load_config(args, num_cameras: Optional[int] = None) -> Config:
@@ -68,7 +73,8 @@ def load_config(args, num_cameras: Optional[int] = None) -> Config:
     if getattr(args, "accumulate", False):
         cfg = dataclasses.replace(
             cfg, pipeline=dataclasses.replace(
-                cfg.pipeline, workspace_accumulate=True)
+                cfg.pipeline, workspace_accumulate=True,
+                accum_skip_prededupe=getattr(args, "accum_raw", False))
         )
     if num_cameras is not None and num_cameras != cfg.rig.num_cameras:
         from rt3d.config import RigConfig

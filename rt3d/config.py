@@ -239,6 +239,18 @@ class PipelineConfig:
     accum_decay: float = 0.97
     accum_obs_weight: float = 1.0
     accum_min_weight: float = 0.5
+    # Skip the per-camera workspace voxel dedupe when accumulation is on
+    # (ignored otherwise). The published workspace is then
+    # `extract_accumulated`, whose merge dedupes globally anyway — the
+    # per-camera sorts only pre-shrink its input. At 1 mm voxels nearly
+    # every ray is a distinct voxel (pixel footprint > voxel), so those
+    # sorts (4x ~230 K rows at the stretch config) buy ~nothing and cost
+    # the most expensive ops in the frame. Semantic delta: a voxel seen by
+    # k rays in one frame gains k*accum_obs_weight instead of 1x — weight
+    # becomes per-RAY support, the same multi-counting the per-camera
+    # dedupe already allows ACROSS cameras. The extracted voxel SET is
+    # unchanged wherever weights clear `accum_min_weight` either way.
+    accum_skip_prededupe: bool = False
     # --- static capacities (padded buffer sizes; compile-time constants) ---
     # raw mask-union pixels entering the object-path sort (pre-dedupe)
     mask_presort_capacity: int = 131072

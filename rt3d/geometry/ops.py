@@ -365,13 +365,22 @@ def compact_scalar(values: jax.Array, emit: jax.Array, capacity: int,
 
 
 def _compact_emitted_keys(key_sorted, emit, capacity, n, half, voxel_size):
-    """Compact emitted sorted keys -> decoded snapped coords."""
-    keys, count, overflow = compact_scalar(
-        key_sorted, emit, capacity, fill=_INT_SENTINEL
-    )
+    """Compact emitted sorted keys -> decoded snapped coords.
+
+    Emitted keys are UNIQUE and already ascending, so masking the dropped
+    rows to the sentinel and re-sorting IS the compaction — a single-operand
+    unstable sort, where the generic `compact_scalars` would pay a second
+    (rank-key) operand. Under capacity pressure both keep the lex-smallest
+    `capacity` keys (ascending truncation == first-emitted truncation)."""
+    masked = jnp.where(emit, key_sorted, _INT_SENTINEL)
+    (skey,) = jax.lax.sort((masked,), num_keys=1, is_stable=False)
+    total = jnp.sum(emit.astype(jnp.int32))
+    count = jnp.minimum(total, capacity)
     valid = jnp.arange(capacity) < count
-    pts = jnp.where(valid[:, None], _decode_packed(keys, n, half, voxel_size), 0.0)
-    return PointBuffer(points=pts, valid=valid), overflow
+    pts = jnp.where(
+        valid[:, None], _decode_packed(skey[:capacity], n, half, voxel_size), 0.0
+    )
+    return PointBuffer(points=pts, valid=valid), total - count
 
 
 def _quantize(points: jax.Array, valid: jax.Array, voxel_size: float):
@@ -464,13 +473,21 @@ def voxel_downsample(
                 emit[:, None], _decode_packed2(shi, slo, n2, half, voxel_size), 0.0
             )
             return PointBuffer(points=pts, valid=emit), jnp.int32(0)
-        (khi, klo), count, overflow, validc = compact_scalars(
-            emit, (shi, slo), capacity
-        )
+        # masked re-sort compaction (see _compact_emitted_keys): emitted
+        # (hi, lo) pairs are unique+ascending, so this is 2 operands where
+        # compact_scalars' rank key would make it 3
+        hm = jnp.where(emit, shi, _INT_SENTINEL)
+        lm = jnp.where(emit, slo, _INT_SENTINEL)
+        h2, l2 = jax.lax.sort((hm, lm), num_keys=2, is_stable=False)
+        total = jnp.sum(emit.astype(jnp.int32))
+        count = jnp.minimum(total, capacity)
+        validc = jnp.arange(capacity) < count
         pts = jnp.where(
-            validc[:, None], _decode_packed2(khi, klo, n2, half, voxel_size), 0.0
+            validc[:, None],
+            _decode_packed2(h2[:capacity], l2[:capacity], n2, half, voxel_size),
+            0.0,
         )
-        return PointBuffer(points=pts, valid=validc), overflow
+        return PointBuffer(points=pts, valid=validc), total - count
 
     qx, qy, qz = _quantize(points, valid, voxel_size)
     sx, sy, sz = jax.lax.sort((qx, qy, qz), num_keys=3)
@@ -739,11 +756,18 @@ def _voxel_masks_packed(points, valid, masks, voxel_size, capacity, bound_m,
             any_emit[:s2].astype(jnp.int32)
         )
     else:
-        (k2, w2), _, drop2, valid2 = compact_scalars(
-            any_emit, (skey, emit_word), s2
-        )
-        k2 = jnp.where(valid2, k2, _INT_SENTINEL)
-        w2 = jnp.where(valid2, w2, 0)
+        # masked re-sort compaction: emitted keys are unique+ascending, so
+        # sorting (key_masked, word) is the compaction at 2 operands where
+        # compact_scalars' rank key would cost 3 (see _compact_emitted_keys)
+        km = jnp.where(any_emit, skey, _INT_SENTINEL)
+        wm = jnp.where(any_emit, emit_word, 0)
+        k2f, w2f = jax.lax.sort((km, wm), num_keys=1, is_stable=False)
+        total2 = jnp.sum(any_emit.astype(jnp.int32))
+        cnt2 = jnp.minimum(total2, s2)
+        valid2 = jnp.arange(s2) < cnt2
+        k2 = jnp.where(valid2, k2f[:s2], _INT_SENTINEL)
+        w2 = jnp.where(valid2, w2f[:s2], 0)
+        drop2 = total2 - cnt2
 
     bits = ((w2[None, :] >> jnp.arange(d, dtype=jnp.int32)[:, None]) & 1) == 1
     # single-operand unstable select: k2 is already ascending, so masking
@@ -827,12 +851,19 @@ def _voxel_masks_packed2(points, valid, masks, voxel_size, capacity, bound_m,
 
     s2 = min(union_capacity, stage1_capacity)
     any_emit = emit_word != 0
-    (k2h, k2l, w2), _, drop2, valid2 = compact_scalars(
-        any_emit, (shi, slo, emit_word), s2
-    )
-    k2h = jnp.where(valid2, k2h, _INT_SENTINEL)
-    k2l = jnp.where(valid2, k2l, _INT_SENTINEL)
-    w2 = jnp.where(valid2, w2, 0)
+    # masked re-sort compaction (see _compact_emitted_keys): 3 operands
+    # (2 keys + word) where compact_scalars' rank key would cost 4
+    hm2 = jnp.where(any_emit, shi, _INT_SENTINEL)
+    lm2 = jnp.where(any_emit, slo, _INT_SENTINEL)
+    wm2 = jnp.where(any_emit, emit_word, 0)
+    h2f, l2f, w2f = jax.lax.sort((hm2, lm2, wm2), num_keys=2, is_stable=False)
+    total2 = jnp.sum(any_emit.astype(jnp.int32))
+    cnt2 = jnp.minimum(total2, s2)
+    valid2 = jnp.arange(s2) < cnt2
+    k2h = jnp.where(valid2, h2f[:s2], _INT_SENTINEL)
+    k2l = jnp.where(valid2, l2f[:s2], _INT_SENTINEL)
+    w2 = jnp.where(valid2, w2f[:s2], 0)
+    drop2 = total2 - cnt2
 
     bits = ((w2[None, :] >> jnp.arange(d, dtype=jnp.int32)[:, None]) & 1) == 1
     # per-detection member select: mask non-members to the sentinel pair and

@@ -186,15 +186,18 @@ def _knn_mean_windowed(points, valid, k, window):
     n = points.shape[0]
     key = morton_keys(points, valid)
     iota = jax.lax.iota(jnp.int32, n)
-    # one multi-operand stable sort carries coordinates + validity + the
-    # original index (for unsorting) along with the key
-    _, px, py, pz, vf, idx = jax.lax.sort(
-        (key, points[:, 0], points[:, 1], points[:, 2],
-         valid.astype(jnp.float32), iota),
-        num_keys=1,
+    # (key, iota) as a TWO-KEY unstable sort: iota breaks Morton-key ties,
+    # so the result is deterministic without the stable sort's hidden iota
+    # payload, and the tiebreaker doubles as the original index for the
+    # unsort. Validity rides IN the key (invalid -> sentinel, > any 30-bit
+    # Morton code) instead of as a separate f32 operand — 5 sort operands
+    # where the stable form carried 7 (~40%/operand, NOTES.md).
+    skey, idx, px, py, pz = jax.lax.sort(
+        (key, iota, points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=2, is_stable=False,
     )
     p = jnp.stack([px, py, pz], axis=1)
-    ok = vf > 0.5
+    ok = skey != jnp.int32(0x7FFFFFFF)
 
     def cand(offset):
         q = jnp.roll(p, offset, axis=0)
@@ -216,11 +219,14 @@ def _knn_mean_windowed(points, valid, k, window):
     dists = jnp.sqrt(jnp.maximum(small, 0.0))
     mean_sorted = jnp.sum(jnp.where(dists < 1e18, dists, 0.0), axis=1) / jnp.maximum(k - 1, 1)
     sat_sorted = jnp.any(small >= _BIG * 0.5, axis=1)
-    # unsort via a second key sort on the original index
-    _, mean_d, sat = jax.lax.sort(
-        (idx, mean_sorted, sat_sorted.astype(jnp.float32)), num_keys=1
+    # saturation folds INTO the mean (saturated -> _BIG) so the unsort is
+    # one payload, and idx is unique so the sort can be unstable (a stable
+    # single-key unsort would ride a hidden iota + a separate sat operand)
+    _, mean_d = jax.lax.sort(
+        (idx, jnp.where(sat_sorted, _BIG, mean_sorted)), num_keys=1,
+        is_stable=False,
     )
-    return mean_d, sat > 0.5
+    return mean_d, mean_d >= _BIG * 0.5
 
 
 def sor_inlier_mask_windowed(

@@ -39,7 +39,6 @@ from rt3d.geometry.ops import (
     _decode_packed2,
     _pair_run_starts,
     _quantize_packed2,
-    compact_scalars,
     packed2_fits,
     packed_cells,
 )
@@ -70,14 +69,14 @@ def subtract_voxel_sets(
     n, m = wh.shape[0], oh.shape[0]
     hi = jnp.concatenate([oh, wh])
     lo = jnp.concatenate([ol, wl])
-    is_obj = jnp.concatenate([
-        jnp.ones((m,), jnp.int32), jnp.zeros((n,), jnp.int32)
-    ])
     src = jnp.arange(n + m, dtype=jnp.int32)
-    # stable sort on the key pair alone keeps objects (which come first in
-    # the concat) ahead of workspace rows inside each equal-key run
-    shi, slo, st, si = jax.lax.sort((hi, lo, is_obj, src), num_keys=2,
-                                    is_stable=True)
+    # src rides as a third SORT KEY, not a stable-sort payload: it is
+    # unique (total order => the unstable sort is deterministic) and
+    # objects occupy src < m, so within an equal-key run objects still
+    # sort first. Drops the separate is_obj operand a stable sort would
+    # need (each operand ~+40%, NOTES.md) — the tag is recovered from si.
+    shi, slo, si = jax.lax.sort((hi, lo, src), num_keys=3, is_stable=False)
+    st = (si < m).astype(jnp.int32)
     start = _pair_run_starts(shi, slo)
 
     def comb(a, b):
@@ -167,16 +166,17 @@ def accumulate_voxels(
     # re-sort on every non-overflowing frame is the difference between the
     # accumulate being ~1 sort and ~3 sorts per frame.
     def _no_evict(shi, slo, sum_incl, emit):
-        # emitted runs are already in (hi, lo) order in the sorted array —
-        # order-preserving compaction IS the final buffer
-        (h_c, l_c, w_c), _cnt, _ovf, validc = compact_scalars(
-            emit, (shi, slo, sum_incl), cap
-        )
-        return (
-            jnp.where(validc, h_c, _INT_SENTINEL),
-            jnp.where(validc, l_c, _INT_SENTINEL),
-            jnp.where(validc, w_c, 0.0),
-        )
+        # emitted runs carry unique ascending (hi, lo) keys, so a
+        # sentinel-masked re-sort IS the order-preserving compaction: 3
+        # operands (2 keys + weight), where compact_scalars' rank key
+        # would make it 4 — at the 2 M-row stretch scale each operand is
+        # ~40% of a sort (NOTES.md). Sentinel rows sort last and carry
+        # weight 0, so truncating to cap is the final buffer directly.
+        hm = jnp.where(emit, shi, _INT_SENTINEL)
+        lm = jnp.where(emit, slo, _INT_SENTINEL)
+        wm = jnp.where(emit, sum_incl, 0.0)
+        h2, l2, w2 = jax.lax.sort((hm, lm, wm), num_keys=2, is_stable=False)
+        return h2[:cap], l2[:cap], w2[:cap]
 
     def _evict(shi, slo, sum_incl, emit):
         # keep the CAP highest-weight voxels: sort emitted rows by -weight

@@ -383,6 +383,13 @@ class Pipeline:
         with the object path when available."""
         p = self.cfg.pipeline
         s = p.workspace_stride
+        # accum_skip_prededupe: raw cropped rays go straight through — the
+        # accumulator's sorted merge is the (single, global) dedupe, so the
+        # per-camera sorts are pure overhead (config.py rationale). Only
+        # legal when the grid fits the buffer; with dedupe the capacity
+        # bounds UNIQUE voxels instead, so the general path keeps working
+        # on any grid size.
+        raw_ws = p.workspace_accumulate and p.accum_skip_prededupe
 
         def finish(pts, valid):
             # pts/valid keep the (H, W) image-grid shape: the grid dedupe
@@ -391,6 +398,17 @@ class Pipeline:
             valid = valid & aabb_mask(
                 pts, p.workspace_x_bounds, p.workspace_y_bounds, p.workspace_z_bounds
             )
+            if raw_ws and pts.shape[0] * pts.shape[1] <= p.max_points_workspace:
+                fp = pts.reshape(-1, 3)
+                fv = valid.reshape(-1)
+                pad = p.max_points_workspace - fv.shape[0]
+                if pad:
+                    fp = jnp.pad(fp, ((0, pad), (0, 0)))
+                    fv = jnp.pad(fv, (0, pad))
+                return (
+                    PointBuffer(points=jnp.where(fv[:, None], fp, 0.0), valid=fv),
+                    jnp.int32(0),
+                )
             return voxel_downsample_grid(
                 pts, valid, p.voxel_size, p.max_points_workspace,
                 bound_m=p.dedupe_bound_m,

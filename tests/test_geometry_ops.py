@@ -146,6 +146,22 @@ def test_voxel_downsample_grid_matches_flat(rng):
     assert int(ovf) == int(ovf2) == 0
 
 
+def test_voxel_downsample_flat_capacity_pressure(rng):
+    """Packed single-word path with capacity < unique count: the masked
+    re-sort compaction keeps the lex-smallest `capacity` voxels and counts
+    the rest (forces the compaction branch, not the capacity>=n fast path)."""
+    pts = rng.uniform(-0.5, 0.5, (400, 3)).astype(np.float32)
+    pts = np.vstack([pts, pts[:80]])
+    valid = np.ones(len(pts), bool)
+    valid[-20:] = False
+    expect_all = oracles.voxel_downsample_oracle(pts[valid], 0.01)
+    cap = len(expect_all) // 2
+    buf, ovf = voxel_downsample(jnp.asarray(pts), jnp.asarray(valid), 0.01, cap)
+    got = _buf_to_np(buf)
+    assert int(ovf) == len(expect_all) - cap
+    np.testing.assert_allclose(got, expect_all[:cap], rtol=1e-6, atol=1e-7)
+
+
 def test_voxel_downsample_grid_overflow_counts(rng):
     from rt3d.geometry.ops import voxel_downsample_grid
 

@@ -316,6 +316,42 @@ def test_workspace_accumulation_survives_transient_occlusion():
     assert int(out_occ.overflow) == 0
 
 
+def test_accum_skip_prededupe_same_voxel_set():
+    """`accum_skip_prededupe` (the 1 mm stretch optimization: raw rays feed
+    the accumulator, whose merge is the global dedupe) must publish exactly
+    the same extracted voxel SET as the per-camera-dedupe path — only the
+    weights may differ (per-ray vs per-voxel support). conf=0.99 keeps the
+    detector silent so subtraction can't flip near-threshold points between
+    the raw and snapped coordinate variants."""
+    import dataclasses
+
+    base = tiny_config(conf=0.99)
+    sets = []
+    for skip in (False, True):
+        cfg = dataclasses.replace(
+            base, pipeline=dataclasses.replace(
+                base.pipeline, workspace_accumulate=True,
+                accum_capacity=16384, accum_decay=0.9, accum_obs_weight=1.0,
+                accum_min_weight=0.5, accum_skip_prededupe=skip,
+            ))
+        pipe = build_pipeline(cfg)
+        params = pipe.model.init(jax.random.PRNGKey(0))
+        calib = CameraCalib.from_config(cfg)
+        src = SyntheticSource(num_cameras=2, num_frames=2, hw=(H, W))
+        state = pipe.init_state()
+        step = jax.jit(pipe.step)
+        for i in range(2):
+            pkt = src.get(i)
+            state, out = step(params, state, jnp.asarray(pkt.rgb),
+                              jnp.asarray(pkt.depth), calib)
+        assert int(out.overflow) == 0
+        pts = np.asarray(out.workspace.points)[np.asarray(out.workspace.valid)]
+        assert len(pts) > 200
+        sets.append({tuple(q) for q in
+                     np.round(pts / cfg.pipeline.voxel_size).astype(int)})
+    assert sets[0] == sets[1]
+
+
 def test_workspace_accumulation_scan_and_checkpoint(tmp_path):
     """Accumulator state rides the scan path's good-frame masking and the
     checkpoint round-trip like every other piece of PipelineState."""

@@ -60,6 +60,27 @@ def test_one_mm_voxel_uses_two_word_packed(rng):
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-7)
 
 
+def test_one_mm_voxel_capacity_pressure(rng):
+    """Two-word path UNDER capacity pressure: the masked-re-sort compaction
+    must keep exactly the lexicographically smallest `capacity` voxels and
+    count the rest as overflow (capacity < unique forces the compaction
+    branch, not the capacity>=n in-place fast path)."""
+    from rt3d.geometry.ops import voxel_downsample
+    from tests import oracles
+
+    pts = rng.uniform(-0.4, 0.4, (600, 3)).astype(np.float32)
+    pts = np.vstack([pts, pts[:120]])  # duplicates keep dedupe honest
+    valid = np.ones(len(pts), bool)
+    valid[-30:] = False
+    expect_all = oracles.voxel_downsample_oracle(pts[valid], 0.001)
+    cap = len(expect_all) // 2
+    buf, ovf = voxel_downsample(jnp.asarray(pts), jnp.asarray(valid),
+                                0.001, cap, bound_m=2.56)
+    got = np.asarray(buf.points)[np.asarray(buf.valid)]
+    assert int(ovf) == len(expect_all) - cap
+    np.testing.assert_allclose(got, expect_all[:cap], rtol=1e-5, atol=1e-7)
+
+
 def test_one_mm_voxel_packed_with_tight_bounds(rng):
     """1 mm voxels DO pack with a tighter bound (e.g. a 0.6 m cell)."""
     from rt3d.geometry.ops import packed_fits, voxel_downsample
