@@ -180,11 +180,16 @@ def accumulate_voxels(
 
     def _evict(shi, slo, sum_incl, emit):
         # keep the CAP highest-weight voxels: sort emitted rows by -weight
-        # (stable, so ties break by the pre-sorted key order), truncate,
-        # then restore key order
+        # with (hi, lo) as tiebreak KEYS — emitted rows have unique key
+        # pairs, so the 3-key unstable sort reproduces the stable-sort
+        # result (ties resolve to ascending key order, which IS the
+        # pre-sort order) without the stable sort's hidden iota operand.
+        # Non-emitted rows (weight key -1 -> sorts last, possibly with
+        # duplicate key pairs) land beyond [:cap] in this branch
+        # (total_unique > cap), so their unstable order never surfaces.
         wk = jnp.where(emit, sum_incl, -1.0)
         _, h_by_w, l_by_w, w_by_w = jax.lax.sort(
-            (-wk, shi, slo, sum_incl), num_keys=1, is_stable=True
+            (-wk, shi, slo, sum_incl), num_keys=3, is_stable=False
         )
         kept_valid = jnp.arange(cap) < jnp.minimum(total_unique, cap)
         h_kept = jnp.where(kept_valid, h_by_w[:cap], _INT_SENTINEL)
