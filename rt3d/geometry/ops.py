@@ -439,7 +439,8 @@ def voxel_downsample(
     """
     if packed_fits(voxel_size, bound_m):
         key, ncells, half = _quantize_packed(points, valid, voxel_size, bound_m)
-        (skey,) = jax.lax.sort((key,), num_keys=1)
+        # unstable: keys-only dedupe sort (stable would ride a hidden iota)
+        (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
         start = jnp.logical_not(skey == jnp.roll(skey, 1)).at[0].set(True)
         emit = start & (skey != _INT_SENTINEL)
         if capacity >= skey.shape[0]:
@@ -490,7 +491,9 @@ def voxel_downsample(
         return PointBuffer(points=pts, valid=validc), total - count
 
     qx, qy, qz = _quantize(points, valid, voxel_size)
-    sx, sy, sz = jax.lax.sort((qx, qy, qz), num_keys=3)
+    # unstable: equal triples are interchangeable for dedupe (stable would
+    # ride a hidden iota operand)
+    sx, sy, sz = jax.lax.sort((qx, qy, qz), num_keys=3, is_stable=False)
     starts = _run_starts(sx, sy, sz)
     emit = starts & (sx != _INT_SENTINEL)
     snapped = (
@@ -890,7 +893,11 @@ def _voxel_masks_lex(points, valid, masks, voxel_size, capacity):
     n = points.shape[0]
     qx, qy, qz = _quantize(points, valid, voxel_size)
     order = jnp.arange(n, dtype=jnp.int32)
-    sx, sy, sz, sorder = jax.lax.sort((qx, qy, qz, order), num_keys=3)
+    # `order` is a 4th KEY, not a stable-sort payload: it is unique, so the
+    # unstable 4-key sort is deterministic (bit-exact replays) without the
+    # stable sort's hidden iota operand
+    sx, sy, sz, sorder = jax.lax.sort((qx, qy, qz, order), num_keys=4,
+                                      is_stable=False)
     starts = _run_starts(sx, sy, sz)
     key_ok = sx != _INT_SENTINEL
 

@@ -87,7 +87,7 @@ def subtract_voxel_sets(
 
     # back to input order: one more sort keyed by the original index
     _, poisoned_in_order = jax.lax.sort(
-        (si, poisoned.astype(jnp.int32)), num_keys=1
+        (si, poisoned.astype(jnp.int32)), num_keys=1, is_stable=False
     )
     keep_ws = (poisoned_in_order[m:] == 0) & workspace.valid
     return PointBuffer(points=workspace.points, valid=keep_ws)
