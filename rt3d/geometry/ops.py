@@ -415,6 +415,24 @@ def segmented_or_scan(word: jax.Array, start: jax.Array) -> jax.Array:
     return w
 
 
+def segmented_sum_scan(val: jax.Array, start: jax.Array) -> jax.Array:
+    """Inclusive segmented SUM-scan, same Hillis-Steele contiguous-shift
+    form as `segmented_or_scan` (the (value, start-flag) segmented semiring
+    is associative for any monoid op; only the combine differs). Replaces
+    `lax.associative_scan` in the accumulator merge, where its strided
+    odd/even slices would gather at the 2 M-row stretch scale."""
+    n = val.shape[0]
+    v, s = val, start
+    k = 1
+    while k < n:
+        vp = jnp.concatenate([jnp.zeros((k,), v.dtype), v[:-k]])
+        sp = jnp.concatenate([jnp.zeros((k,), jnp.bool_), s[:-k]])
+        v = jnp.where(s, v, vp + v)
+        s = s | sp
+        k *= 2
+    return v
+
+
 def _run_starts(sx, sy, sz):
     """Boundary flags of equal-key runs in lexicographically sorted keys."""
     same = (

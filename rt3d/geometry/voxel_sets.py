@@ -41,6 +41,8 @@ from rt3d.geometry.ops import (
     _quantize_packed2,
     packed2_fits,
     packed_cells,
+    segmented_or_scan,
+    segmented_sum_scan,
 )
 
 
@@ -79,10 +81,9 @@ def subtract_voxel_sets(
     st = (si < m).astype(jnp.int32)
     start = _pair_run_starts(shi, slo)
 
-    def comb(a, b):
-        return (jnp.where(b[1], b[0], a[0] | b[0]), a[1] | b[1])
-
-    or_incl, _ = jax.lax.associative_scan(comb, (st, start.astype(jnp.int32)))
+    # contiguous-shift segmented OR (associative_scan's odd/even recursion
+    # would lower to strided-slice gathers, ops.segmented_or_scan doc)
+    or_incl = segmented_or_scan(st, start)
     poisoned = or_incl > 0  # run contains an object voxel (objects lead)
 
     # back to input order: one more sort keyed by the original index
@@ -146,13 +147,9 @@ def accumulate_voxels(
     shi, slo, sw = jax.lax.sort((hi, lo, w), num_keys=2, is_stable=False)
     start = _pair_run_starts(shi, slo)
 
-    # segmented sum of weights over equal-key runs
-    def comb(a, b):
-        return (jnp.where(b[1], b[0], a[0] + b[0]), a[1] | b[1])
-
-    sum_incl, _ = jax.lax.associative_scan(
-        comb, (sw, start.astype(jnp.int32))
-    )
+    # segmented sum of weights over equal-key runs — contiguous-shift form
+    # (associative_scan gathers at this width, ops.segmented_sum_scan doc)
+    sum_incl = segmented_sum_scan(sw, start)
     # run totals live at run ends (position before the next run start)
     next_start = jnp.roll(start, -1).at[-1].set(True)
     emit = next_start & (shi != _INT_SENTINEL)
