@@ -412,3 +412,36 @@ def test_strided_grid_downsample_nonfinite_depth(rng):
     assert np.isfinite(got).all()
     np.testing.assert_array_equal(got[finite], ref[finite])
     assert got[0, 2, 3] == 0.0  # the on-grid NaN -> 0 (invalid either way)
+
+
+def test_segmented_scans_match_oracle(rng):
+    """The Hillis-Steele contiguous-shift segmented OR/SUM scans equal a
+    straightforward per-segment prefix oracle, including non-power-of-two
+    lengths and a segment spanning the array start."""
+    from rt3d.geometry.ops import segmented_or_scan, segmented_sum_scan
+
+    n = 1000  # non-power-of-two
+    start = rng.random(n) < 0.1
+    start[0] = True
+    word = rng.integers(0, 2**20, n).astype(np.int32)
+    val = rng.random(n).astype(np.float32)
+
+    seg = np.cumsum(start) - 1
+    or_expect = np.zeros(n, np.int32)
+    sum_expect = np.zeros(n, np.float32)
+    acc_or, acc_sum = 0, 0.0
+    for i in range(n):
+        if start[i]:
+            acc_or, acc_sum = 0, 0.0
+        acc_or |= int(word[i])
+        acc_sum += float(val[i])
+        or_expect[i] = acc_or
+        sum_expect[i] = acc_sum
+    del seg
+
+    got_or = np.asarray(jax.jit(segmented_or_scan)(
+        jnp.asarray(word), jnp.asarray(start)))
+    got_sum = np.asarray(jax.jit(segmented_sum_scan)(
+        jnp.asarray(val), jnp.asarray(start)))
+    np.testing.assert_array_equal(got_or, or_expect)
+    np.testing.assert_allclose(got_sum, sum_expect, rtol=2e-5, atol=1e-5)
