@@ -1,0 +1,79 @@
+"""Sort-budget regression guard on the lowered fused step.
+
+The round-3 sort work (explicit ``is_stable=False`` everywhere it is
+semantically safe, operand-count reduction via masked re-sorts, packed
+keys, and in-key validity) is invisible to output-equality tests: a
+regression — say a helper reverting to ``jnp.sort`` defaults, which adds
+a hidden iota payload, or a compaction reintroducing a rank-key payload —
+produces identical results but costs ~40% per extra sort operand on the
+TPU (NOTES.md, measured). This test lowers the fused pipeline step to
+StableHLO and pins the sort structure:
+
+* number of sort ops,
+* the single remaining stable sort (bytetrack.py slot ordering — a
+  (max_tracks,) array where stability is semantically required and the
+  cost is nil),
+* the max and total operand counts.
+
+Budgets are the counts as of 2026-08-18 (commits 7f7e025..eb5bd68). If a
+legitimate feature adds a sort, update the budget in the same commit and
+say why. Note ``lax.cond`` branches both lower, so e.g. the accumulate
+evict/no-evict variants BOTH count.
+"""
+
+import dataclasses
+import re
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.tiny import H, W, tiny_config
+from rt3d.pipeline.step import CameraCalib, build_pipeline
+
+_SORT_RE = re.compile(r'"stablehlo\.sort"\(([^)]*)\)')
+
+
+def _sort_stats(cfg):
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    state = pipe.init_state()
+    calib = CameraCalib.from_config(cfg)
+    c = len(cfg.rig.cameras)
+    rgb = jnp.zeros((c, H, W, 3), jnp.uint8)
+    depth = jnp.ones((c, H, W), jnp.float32)
+    txt = jax.jit(pipe.step).lower(params, state, rgb, depth, calib).as_text()
+    operand_counts = [m.count(",") + 1 for m in _SORT_RE.findall(txt)]
+    return {
+        "n_sorts": len(operand_counts),
+        "n_stable": txt.count("is_stable = true"),
+        "max_operands": max(operand_counts),
+        "total_operands": sum(operand_counts),
+    }
+
+
+def test_fused_step_sort_budget():
+    s = _sort_stats(tiny_config())
+    assert s["n_sorts"] <= 8, s
+    assert s["n_stable"] <= 1, s  # bytetrack slot ordering only
+    assert s["max_operands"] <= 4, s
+    assert s["total_operands"] <= 14, s
+
+
+@pytest.mark.slow
+def test_fused_step_sort_budget_accumulate():
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        pipeline=dataclasses.replace(
+            cfg.pipeline,
+            workspace_accumulate=True,
+            accum_capacity=8192,
+            accum_skip_prededupe=True,
+        ),
+    )
+    s = _sort_stats(cfg)
+    assert s["n_sorts"] <= 10, s
+    assert s["n_stable"] <= 1, s
+    assert s["max_operands"] <= 4, s
+    assert s["total_operands"] <= 25, s
