@@ -26,6 +26,45 @@ import sys
 BASELINE_FPS = 26.25  # reference avg FPS, 1 object @5mm voxel (BASELINE.md)
 
 
+def _wait_for_device(max_wait_s: float) -> bool:
+    """Bounded wait for the TPU tunnel to come up.
+
+    The dev-tunnel relay flaps (observed down for >5 h on 2026-08-17), and
+    while it is down axon backend init HANGS rather than erroring — an
+    unguarded run would stall at the first `jax.devices()` until the
+    caller's own timeout kills it, recording nothing. Probe backend init in
+    a short-lived subprocess (killable on timeout; the main process must
+    not init a backend it would then be stuck with) and retry until the
+    relay answers or `max_wait_s` passes. Returns True when a probe
+    succeeded; on False the caller proceeds anyway and fails naturally."""
+    import subprocess
+    import time
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            # bound each probe by the remaining budget (floor 10 s — a
+            # healthy tunnel answers backend init in a few seconds)
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(90.0, max(10.0, deadline - time.time())),
+                capture_output=True)
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"# device up after {attempt} probes",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print(f"# device probe failed for {max_wait_s:.0f}s; "
+                  "proceeding anyway", file=sys.stderr)
+            return False
+        time.sleep(min(30, max(1, deadline - time.time())))
+
+
 def _stage_on_device(packets):
     import jax.numpy as jnp
 
@@ -69,6 +108,21 @@ class _ChunkLoop(_Loop):
 
 
 def main() -> int:
+    # only the tunnel backend needs the guard (CPU init can't hang), and
+    # RT3D_BENCH_WAIT_S=0 disables it
+    wait_s = float(os.environ.get("RT3D_BENCH_WAIT_S", "900"))
+    if wait_s > 0 and os.environ.get("PALLAS_AXON_POOL_IPS"):
+        if not _wait_for_device(wait_s):
+            # an honest failure record beats an unbounded hang: without
+            # this, backend init blocks forever and the caller's timeout
+            # records nothing at all
+            print(json.dumps({
+                "metric": "e2e_fps_tpu_v5e", "value": 0.0, "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": f"tpu_unreachable_after_{wait_s:.0f}s_wait",
+            }))
+            return 1
+
     import numpy as np
     import jax
 
@@ -189,6 +243,17 @@ def main() -> int:
         params = {k: jax.numpy.asarray(v, jax.numpy.float32)
                   for k, v in load_params(wpath).items()}
         weights_kind = f"trained({os.path.basename(wpath)})"
+
+    # RT3D_BENCH_QUANT=1: post-training int8 conversion of the conv stack
+    # (W8A8, per-channel weights; the v5e MXU runs s8xs8 at 2x the bf16
+    # rate). Calibrates on the bench's own synthetic frames — the accuracy
+    # bar is tests/test_quant.py (detection-loop criteria hold at int8).
+    if os.environ.get("RT3D_BENCH_QUANT"):
+        from rt3d.models.yolo import quant
+
+        params = quant.quantize_params(
+            pipe.model, params, quant.synth_calib_batches(pipe, src))
+        weights_kind += "+int8"
 
     host_packets = [src.get(i) for i in range(16)]
     packets = (host_packets if os.environ.get("RT3D_BENCH_HOST_PATH")
