@@ -58,6 +58,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "accumulator and let its merge do the (single, "
                         "global) voxel dedupe — skips the per-camera dedupe "
                         "sorts; voxel weights count ray support")
+    p.add_argument("--quantize", action="store_true",
+                   help="run the conv stack int8 (W8A8, per-channel "
+                        "weights): calibrates activation ranges on the "
+                        "source's first frames, then the MXU runs s8xs8 at "
+                        "2x the bf16 rate (accuracy bar: tests/test_quant)")
 
 
 def load_config(args, num_cameras: Optional[int] = None) -> Config:
@@ -124,3 +129,18 @@ def load_model_params(pipe, cfg: Config):
 
         return {k: jax.numpy.asarray(v) for k, v in load_params(w).items()}
     return pipe.model.init(jax.random.PRNGKey(0))
+
+
+def maybe_quantize_params(pipe, params, source, args, calib_frames=4):
+    """`--quantize`: post-training int8 conversion of the conv stack,
+    calibrated on the actual source (replay or synthetic) through the
+    pipeline's own preprocessing. No-op without the flag."""
+    if not getattr(args, "quantize", False):
+        return params
+    from rt3d.models.yolo import quant
+
+    batches = [
+        pipe.preprocess(jax.numpy.asarray(source.get(i).rgb))
+        for i in range(calib_frames)
+    ]
+    return quant.quantize_params(pipe.model, params, batches)

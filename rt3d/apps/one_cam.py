@@ -15,7 +15,7 @@ def main() -> int:
     p = argparse.ArgumentParser(description=__doc__)
     from rt3d.apps.common import (
         add_common_args, adopt_source_calibration, load_config,
-        load_model_params, open_source,
+        load_model_params, maybe_quantize_params, open_source,
     )
 
     add_common_args(p)
@@ -32,6 +32,7 @@ def main() -> int:
     cfg = adopt_source_calibration(cfg, src)
     pipe = build_pipeline(cfg)
     params = load_model_params(pipe, cfg)
+    params = maybe_quantize_params(pipe, params, src, args)
     os.makedirs(args.log_dir, exist_ok=True)
     spool = None
     if args.live:

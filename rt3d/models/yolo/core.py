@@ -33,6 +33,14 @@ class ParamCtx:
         self.params = params
         self.shapes: Dict[str, tuple] = {}   # path -> (shape, fan_in)
         self._path = []
+        # when set (a dict), conv2d records the max-|input| of every conv
+        # into it as TRACED scalars keyed by conv path — return the dict
+        # from the traced function to calibrate int8 activation scales
+        # (see quant.py; the reference has no quantization — TPU-only win)
+        self.act_stats: Optional[Dict[str, jax.Array]] = None
+        # populated alongside act_stats: static per-conv metadata the
+        # quantizer can filter on (currently just the group count)
+        self.conv_meta: Dict[str, dict] = {}
 
     @contextmanager
     def scope(self, name: str):
@@ -110,9 +118,45 @@ def conv2d(
     handled by the caller's scope."""
     cin = x.shape[-1]
     with ctx.scope(name):
-        kernel = ctx.param("kernel", (k, k, cin // groups, cout), fan_in=k * k * cin // groups)
+        path = "/".join(ctx._path)
+        if ctx.act_stats is not None:
+            # calibration capture: per-conv max-|input| as a traced scalar
+            ctx.act_stats[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            ctx.conv_meta[path] = {"groups": groups}
+        quantized = (
+            ctx.params is not None and path + "/kernel_q8" in ctx.params
+        )
+        if quantized:
+            kernel_q = ctx.params[path + "/kernel_q8"]      # int8 HWIO
+            kernel_scale = ctx.params[path + "/kernel_scale"]  # (cout,) f32
+            act_scale = ctx.params[path + "/act_scale"]     # () f32 max-|x|
+        else:
+            kernel = ctx.param("kernel", (k, k, cin // groups, cout), fan_in=k * k * cin // groups)
         bias = ctx.param("bias", (cout,))
     pad = k // 2
+    if quantized:
+        # W8A8 path (TPU MXU runs s8xs8->s32 at 2x the bf16 rate): weights
+        # are pre-quantized per-output-channel (quant.py), activations
+        # quantize per-tensor against the calibrated max-|x|. The rescale +
+        # bias + SiLU epilogue stays f32 and fuses into the conv output.
+        inv = 127.0 / act_scale
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * inv), -127.0, 127.0
+        ).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq,
+            kernel_q,
+            window_strides=(s, s),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * (kernel_scale * (act_scale / 127.0))
+        y = y + bias.astype(jnp.float32)
+        if act and not raw:
+            y = silu(y)
+        return y.astype(_COMPUTE_DTYPE)
     # preferred_element_type matches the operand dtype so the conv transpose
     # (gradient) rule stays dtype-consistent — mixed bf16 operands with an
     # f32 preferred type breaks `grad` (cotangent/operand dtype mismatch in

@@ -1,0 +1,131 @@
+"""int8 (W8A8) quantization accuracy: the quantized conv path must keep
+the trained model detection-capable.
+
+The switch is the params dict itself (`quant.quantize_params` replaces
+f32 kernels with `kernel_q8`/`kernel_scale`/`act_scale` triples that
+`core.py conv2d` recognises) — the same forward, pipeline, and tests run
+both paths. Accuracy bar: the detection-loop criteria of
+`tests/test_detection_loop.py` (every GT instance found at mask
+IoU >= 0.7) must hold with the model's convs running int8.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+WEIGHTS = os.path.join(os.path.dirname(__file__), "..", "weights",
+                       "yolo11n_synth_seg.npz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(WEIGHTS),
+    reason="trained weights artifact missing (run tools/train_synth.py)",
+)
+
+
+@pytest.fixture(scope="module")
+def quantized_setup():
+    from rt3d.config import reference_2cam_config, with_cameras
+    from rt3d.io.synthetic import SyntheticSource
+    from rt3d.models.yolo.convert import load_params
+    from rt3d.models.yolo import quant
+    from rt3d.pipeline.step import build_pipeline
+
+    with open(os.path.splitext(WEIGHTS)[0] + ".json") as f:
+        manifest = json.load(f)
+    cfg = reference_2cam_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            variant=manifest["variant"],
+            input_hw=tuple(manifest["input_hw"]),
+            conf_thresh=0.25,
+        ),
+    )
+    src = SyntheticSource(num_cameras=2, num_frames=None, hw=(720, 1280),
+                          num_objects=2, seed=4242)
+    cfg = with_cameras(cfg, src.cameras())
+    pipe = build_pipeline(cfg)
+    params = {k: jnp.asarray(v, jnp.float32)
+              for k, v in load_params(WEIGHTS).items()}
+    qparams = quant.quantize_params(
+        pipe.model, params, quant.synth_calib_batches(pipe, src))
+    return pipe, params, qparams, src
+
+
+def test_quantization_covers_the_conv_stack(quantized_setup):
+    """Most conv FLOPs must actually run int8: every backbone/neck conv
+    except the exclusions (stem, head logits, proto output) quantizes."""
+    _, params, qparams, _ = quantized_setup
+    n_convs = sum(1 for k in params if k.endswith("/kernel"))
+    n_q8 = sum(1 for k in qparams if k.endswith("/kernel_q8"))
+    n_kept = sum(1 for k in qparams if k.endswith("/kernel"))
+    assert n_q8 + n_kept == n_convs
+    # n-variant: 10 excluded by policy (stem + 9 head logit convs +
+    # proto cv3 is a conv_module -> 11 paths); everything else quantizes
+    assert n_kept <= 12, (n_q8, n_kept)
+    assert n_q8 >= n_convs - 12
+    for k in qparams:
+        if k.endswith("/kernel_q8"):
+            assert qparams[k].dtype == np.int8
+
+
+def test_quantized_detections_match_fp(quantized_setup):
+    """Same frame, both paths: same detection count, every int8 box within
+    2 px of its fp match, scores within 0.05."""
+    pipe, params, qparams, src = quantized_setup
+    detect = jax.jit(pipe.detect)
+    img = pipe.preprocess(jnp.asarray(src.get(11).rgb))
+    det_f = detect(params, img)[0]
+    det_q = detect(qparams, img)[0]
+    vf = np.asarray(det_f.valid)
+    vq = np.asarray(det_q.valid)
+    assert vf.sum() == vq.sum() and vf.sum() >= 4
+    for c in range(vf.shape[0]):
+        bf = np.asarray(det_f.boxes)[c][vf[c]]
+        bq = np.asarray(det_q.boxes)[c][vq[c]]
+        sf = np.asarray(det_f.scores)[c][vf[c]]
+        sq = np.asarray(det_q.scores)[c][vq[c]]
+        # NMS may reorder; match greedily by box distance
+        for i in range(len(bf)):
+            d = np.abs(bq - bf[i]).max(axis=1)
+            j = int(d.argmin())
+            assert d[j] < 2.0, (bf[i], bq[j])
+            assert abs(sq[j] - sf[i]) < 0.05
+
+
+def test_quantized_masks_match_ground_truth(quantized_setup):
+    """The detection-loop bar with int8 convs: every GT instance found at
+    mask IoU >= 0.7 (same criterion as test_detection_loop.py)."""
+    from tools.eval_synth import mask_iou
+
+    pipe, _, qparams, src = quantized_setup
+    detect = jax.jit(pipe.detect)
+    masks_fn = jax.jit(pipe.masks)
+    total, found = 0, 0
+    for frame in (0, 37):
+        pkt = src.get(frame)
+        gt = src.gt_masks(frame)
+        images = pipe.preprocess(jnp.asarray(pkt.rgb))
+        det, protos, _ = detect(qparams, images)
+        pred = np.asarray(masks_fn(protos, det))
+        valid = np.asarray(det.valid)
+        for c in range(2):
+            for k in range(gt.shape[1]):
+                if gt[c, k].sum() < 16:
+                    continue
+                total += 1
+                best = max(
+                    (mask_iou(gt[c, k], pred[c, d])
+                     for d in range(pred.shape[1]) if valid[c, d]),
+                    default=0.0,
+                )
+                if best >= 0.7:
+                    found += 1
+    assert total >= 4
+    assert found == total, (found, total)
