@@ -144,7 +144,10 @@ def make_sharded_step(pipeline: Pipeline, mesh: Mesh, cam_axis: str = "cam"):
         local_step,
         mesh=mesh,
         in_specs=(
-            spec_rep(abs_params),
+            # a single P() is a pytree PREFIX: params replicate leaf-wise
+            # whatever their key structure — f32 kernels or the int8
+            # kernel_q8/scale triples of a quantized dict (quant.py)
+            P(),
             state_specs(state_proto),
             cam_p,
             cam_p,

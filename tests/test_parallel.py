@@ -46,6 +46,48 @@ def test_sharded_step_matches_single_device():
     )
 
 
+def test_sharded_step_accepts_quantized_params():
+    """The params in_spec is a pytree PREFIX (plain P()), so the sharded
+    step takes ANY replicated params structure — including a quantized
+    dict's kernel_q8/kernel_scale/act_scale triples — and must match the
+    single-device step run on the same quantized params bit-for-bit."""
+    from rt3d.io.synthetic import SyntheticSource
+    from rt3d.models.yolo import quant
+    from rt3d.parallel.mesh import make_mesh
+    from rt3d.parallel.multicam import make_sharded_step
+    from rt3d.pipeline.step import CameraCalib, build_pipeline
+
+    cfg = tiny_config(num_cameras=2)
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    calib = CameraCalib.from_config(cfg)
+    src = SyntheticSource(num_cameras=2, num_frames=2, hw=(H, W))
+    pkt = src.get(0)
+    rgb, depth = jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth)
+
+    # random-init activations decay with depth; calibrate on the real
+    # frame and keep whatever clears the act-scale floor (stem excluded)
+    qparams = quant.quantize_params(
+        pipe.model, params, [pipe.preprocess(rgb)],
+        exclude=lambda p: p.split("/")[0] == "0")
+    assert any(k.endswith("/kernel_q8") for k in qparams)
+
+    mesh = make_mesh({"cam": 2})
+    sharded = make_sharded_step(pipe, mesh)
+    st_s, out_s = sharded(qparams, pipe.init_state(), rgb, depth, calib)
+    st_1, out_1 = jax.jit(pipe.step)(
+        qparams, pipe.init_state(), rgb, depth, calib)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_s.workspace.valid), np.asarray(out_1.workspace.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s.objects_flat.points),
+        np.asarray(out_1.objects_flat.points),
+        atol=1e-5,
+    )
+
+
 def test_fsdp_train_step_runs_and_shards():
     import optax
 
