@@ -251,8 +251,13 @@ def main() -> int:
     if os.environ.get("RT3D_BENCH_QUANT"):
         from rt3d.models.yolo import quant
 
+        # precomputed scales (tools/calibrate_quant.py sidecar) spare the
+        # extra stats-forward compile — minutes on the dev relay
+        sp = quant.sidecar_path(wpath)
+        scales = quant.load_act_scales(sp) if os.path.exists(sp) else None
         params = quant.quantize_params(
-            pipe.model, params, quant.synth_calib_batches(pipe, src))
+            pipe.model, params, quant.synth_calib_batches(pipe, src),
+            act_scales=scales)
         weights_kind += "+int8"
 
     host_packets = [src.get(i) for i in range(16)]

@@ -139,8 +139,17 @@ def maybe_quantize_params(pipe, params, source, args, calib_frames=4):
         return params
     from rt3d.models.yolo import quant
 
+    # a precomputed sidecar next to the weights artifact skips the
+    # stats-forward compile (tools/calibrate_quant.py)
+    scales = None
+    w = pipe.cfg.model.weights
+    if w:
+        sp = quant.sidecar_path(w)
+        if os.path.exists(sp):
+            scales = quant.load_act_scales(sp)
     batches = [
         pipe.preprocess(jax.numpy.asarray(source.get(i).rgb))
         for i in range(calib_frames)
     ]
-    return quant.quantize_params(pipe.model, params, batches)
+    return quant.quantize_params(pipe.model, params, batches,
+                                 act_scales=scales)

@@ -91,6 +91,22 @@ def collect_act_scales(
     return out
 
 
+def collect_conv_meta(model) -> Dict[str, dict]:
+    """Static per-conv metadata (group counts) via eval_shape — no FLOPs,
+    no params needed."""
+    ctx = ParamCtx()
+    ctx.act_stats = {}  # enables meta recording in conv2d
+    h, w = model.input_hw
+
+    def f(x):
+        feats = model.backbone_neck(ctx, x.astype(compute_dtype()))
+        model.head(ctx, feats)
+        return jnp.zeros(())
+
+    jax.eval_shape(f, jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32))
+    return dict(ctx.conv_meta)
+
+
 def quantize_params(
     model,
     params: Params,
@@ -115,6 +131,10 @@ def quantize_params(
     if act_scales is None:
         act_scales = collect_act_scales(model, params, calib_images,
                                         meta_out=meta)
+    if exclude_grouped and not meta:
+        # precomputed act_scales skip calibration; recover the group
+        # counts from a FLOP-free shape-mode trace
+        meta = collect_conv_meta(model)
 
     out: Params = {}
     quantized: List[str] = []
@@ -145,6 +165,30 @@ def quantize_params(
 
 def is_quantized(params: Params) -> bool:
     return any(k.endswith("/kernel_q8") for k in params)
+
+
+def save_act_scales(path: str, scales: Dict[str, float]) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(scales, f, indent=1, sort_keys=True)
+
+
+def load_act_scales(path: str) -> Dict[str, float]:
+    import json
+
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}
+
+
+def sidecar_path(weights_path: str) -> str:
+    """Conventional location of precomputed activation scales for a
+    weights artifact: `<weights>.act_scales.json` next to the .npz.
+    Precomputing (tools/calibrate_quant.py) spares deploy targets the
+    extra stats-forward compile — on the dev relay that is minutes."""
+    import os
+
+    return os.path.splitext(weights_path)[0] + ".act_scales.json"
 
 
 def synth_calib_batches(pipe, src, frames=(0, 7, 23, 41)) -> List[jax.Array]:

@@ -99,6 +99,47 @@ def test_quantized_detections_match_fp(quantized_setup):
             assert abs(sq[j] - sf[i]) < 0.05
 
 
+def test_precomputed_sidecar_scales_work(quantized_setup):
+    """The checked-in `<weights>.act_scales.json` sidecar (written by
+    tools/calibrate_quant.py so deploy targets skip the calibration
+    compile) must produce a working int8 detector too."""
+    from rt3d.models.yolo import quant
+
+    sp = quant.sidecar_path(WEIGHTS)
+    if not os.path.exists(sp):
+        pytest.skip("no act-scales sidecar artifact")
+    from tools.eval_synth import mask_iou
+
+    pipe, params, _, src = quantized_setup
+    qp = quant.quantize_params(
+        pipe.model, params, [], act_scales=quant.load_act_scales(sp))
+    assert sum(1 for k in qp if k.endswith("/kernel_q8")) >= 80
+    # the quality bar, not bit-parity: sidecar scales come from a
+    # different (deploy) calibration run, so near-threshold detection
+    # sets can differ; what must hold is the detection-loop criterion
+    detect = jax.jit(pipe.detect)
+    masks_fn = jax.jit(pipe.masks)
+    pkt = src.get(37)
+    gt = src.gt_masks(37)
+    det, protos, _ = detect(qp, pipe.preprocess(jnp.asarray(pkt.rgb)))
+    pred = np.asarray(masks_fn(protos, det))
+    valid = np.asarray(det.valid)
+    total, found = 0, 0
+    for c in range(2):
+        for k in range(gt.shape[1]):
+            if gt[c, k].sum() < 16:
+                continue
+            total += 1
+            best = max(
+                (mask_iou(gt[c, k], pred[c, d])
+                 for d in range(pred.shape[1]) if valid[c, d]),
+                default=0.0,
+            )
+            if best >= 0.7:
+                found += 1
+    assert total >= 2 and found == total, (found, total)
+
+
 def test_quantized_masks_match_ground_truth(quantized_setup):
     """The detection-loop bar with int8 convs: every GT instance found at
     mask IoU >= 0.7 (same criterion as test_detection_loop.py)."""
