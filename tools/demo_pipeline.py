@@ -38,8 +38,31 @@ def main() -> int:
     pipe = build_pipeline(cfg)
     t0 = time.time()
     params = pipe.model.init(jax.random.PRNGKey(0))
+    # trained weights when the in-repo artifact exists (real detections
+    # through the whole chain); RT3D_DEMO_QUANT=1 additionally drives the
+    # int8 conv path (sidecar act scales if present)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wpath = os.environ.get(
+        "RT3D_DEMO_WEIGHTS",
+        os.path.join(root, "weights", f"yolo11{variant}_synth_seg.npz"))
+    kind = "random-init"
+    if os.path.exists(wpath) and not os.environ.get("RT3D_DEMO_RANDOM"):
+        from rt3d.models.yolo.convert import load_params
+
+        params = {k: jnp.asarray(v, jnp.float32)
+                  for k, v in load_params(wpath).items()}
+        kind = f"trained({os.path.basename(wpath)})"
+    if os.environ.get("RT3D_DEMO_QUANT"):
+        from rt3d.models.yolo import quant
+
+        sp = quant.sidecar_path(wpath)
+        scales = quant.load_act_scales(sp) if os.path.exists(sp) else None
+        params = quant.quantize_params(
+            pipe.model, params, quant.synth_calib_batches(pipe, src),
+            act_scales=scales)
+        kind += "+int8"
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
-    print(f"init: {n_params/1e6:.1f}M params in {time.time()-t0:.1f}s")
+    print(f"init: {n_params/1e6:.1f}M params ({kind}) in {time.time()-t0:.1f}s")
     packets = [src.get(i) for i in range(8)]
 
     class Pre:
