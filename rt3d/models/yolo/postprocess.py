@@ -159,11 +159,29 @@ def nms_fixed(
     same_cls = top_cls[:, None] == top_cls[None, :]
     conflict = (iou > iou_thresh) & same_cls  # (K, K)
 
-    def body(i, keep):
-        sup = jnp.any(keep & conflict[:, i] & (jnp.arange(pre_topk) < i))
-        return keep.at[i].set(top_valid[i] & ~sup)
+    # Greedy suppression in max_det SELECTION ROUNDS, not pre_topk
+    # sequential keep-decisions: each round takes the best still-available
+    # candidate (candidates are score-sorted, so the first available index
+    # IS the best) and suppresses its lower-ranked conflicts. Only kept
+    # items ever suppress, so this is bit-identical to the classic
+    # keep[i]-in-order recurrence — whose first max_det keeps are exactly
+    # what the top_k below selects — at ~6x fewer loop iterations
+    # (TPU loop overhead dominates these tiny per-step bodies).
+    order = jnp.arange(pre_topk)
+    rounds = min(max_det, pre_topk)
 
-    keep = jax.lax.fori_loop(0, pre_topk, body, jnp.zeros((pre_topk,), bool))
+    def round_body(carry, _):
+        sup, keep = carry
+        avail = top_valid & ~sup & ~keep
+        i = jnp.argmax(avail)  # first True = highest-score available
+        has = avail[i]
+        keep = keep.at[i].set(keep[i] | has)
+        sup = sup | (has & conflict[i, :] & (order > i))
+        return (sup, keep), None
+
+    zeros = jnp.zeros((pre_topk,), bool)
+    (_, keep), _ = jax.lax.scan(round_body, (zeros, zeros), None,
+                                length=rounds)
 
     final_scores = jnp.where(keep, top_scores, 0.0)
     k = min(max_det, pre_topk)

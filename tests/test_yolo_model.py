@@ -75,7 +75,9 @@ def test_anchor_grid_layout():
 
 
 def _nms_oracle(boxes, scores, classes, iou_t):
-    order = np.argsort(-scores)
+    # stable: equal scores keep index order, matching lax.top_k's
+    # tie-breaking (matters for tie-heavy fuzz cases below)
+    order = np.argsort(-scores, kind="stable")
     keep = []
     for i in order:
         if scores[i] <= 0:
@@ -120,6 +122,35 @@ def test_nms_matches_greedy_oracle(rng):
     keep = _nms_oracle(boxes, conf_f, cls, 0.5)[:10]
     got_idx = [int(np.argmin(np.abs(conf - s))) for s in np.asarray(det.scores) if s > 0]
     assert got_idx == keep
+
+
+def test_nms_matches_oracle_with_ties_and_clusters(rng):
+    """Tie-heavy clustered fuzz: quantized scores produce many exact score
+    ties and dense conflict chains — the regime where the selection-round
+    suppression (postprocess.py) must still match the classic greedy
+    recurrence. Ties break by candidate index in both (stable oracle sort
+    vs lax.top_k index order)."""
+    for t in range(8):
+        a, nc = 48, 3
+        centers = rng.uniform(0, 60, (a, 2))
+        wh = rng.uniform(5, 40, (a, 2))
+        boxes = np.concatenate(
+            [centers - wh / 2, centers + wh / 2], axis=-1).astype(np.float32)
+        cls = rng.integers(0, nc, a)
+        conf = (np.round(rng.uniform(0, 1, a) * 10) / 10).astype(np.float32)
+        scores = np.zeros((a, nc), np.float32)
+        scores[np.arange(a), cls] = conf
+        det = nms_fixed(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            jnp.asarray(np.zeros((a, 4), np.float32)),
+            conf_thresh=0.25, iou_thresh=0.5, max_det=12, pre_topk=48,
+        )
+        conf_f = np.where(conf >= 0.25, conf, 0.0)
+        keep = _nms_oracle(boxes, conf_f, cls, 0.5)[:12]
+        got = [tuple(b) for b, v in
+               zip(np.asarray(det.boxes), np.asarray(det.valid)) if v]
+        want = [tuple(boxes[i]) for i in keep]
+        assert got == want, t
 
 
 def test_nms_class_filter(rng):
