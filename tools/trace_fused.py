@@ -71,6 +71,23 @@ def main():
         params = {k: jnp.asarray(v, jnp.float32)
                   for k, v in load_params(wpath).items()}
         print(f"trained weights: {wpath}")
+        # RT3D_TRACE_QUANT=1: profile the int8 conv stack (sidecar scales
+        # skip the calibration compile, matching bench.py's quant leg)
+        if os.environ.get("RT3D_TRACE_QUANT"):
+            from rt3d.models.yolo import quant
+
+            sidecar = quant.sidecar_path(wpath)
+            scales = (quant.load_act_scales(sidecar)
+                      if os.path.exists(sidecar) else None)
+            # src only holds 2 frames here — enough for a trace-run
+            # fallback calibration when the sidecar is missing
+            calib_imgs = (() if scales
+                          else quant.synth_calib_batches(pipe, src,
+                                                         frames=(0, 1)))
+            params = quant.quantize_params(pipe.model, params, calib_imgs,
+                                           act_scales=scales)
+            print(f"int8 conv stack (scales: "
+                  f"{'sidecar' if scales else 'calibrated'})")
     calib = CameraCalib.from_config(cfg)
     pkt = src.get(0)
     rgb, depth = jnp.asarray(pkt.rgb), jnp.asarray(pkt.depth)
