@@ -38,6 +38,11 @@ class ParamCtx:
         # from the traced function to calibrate int8 activation scales
         # (see quant.py; the reference has no quantization — TPU-only win)
         self.act_stats: Optional[Dict[str, jax.Array]] = None
+        # act-stat reducer: None records max-|x|; a float in (0, 100)
+        # records that percentile of |x| instead (outlier-robust scales —
+        # the int8 path saturates clipped activations at ±127, so a
+        # tighter scale trades rare clipping for finer resolution)
+        self.act_pct: Optional[float] = None
         # populated alongside act_stats: static per-conv metadata the
         # quantizer can filter on (currently just the group count)
         self.conv_meta: Dict[str, dict] = {}
@@ -120,8 +125,13 @@ def conv2d(
     with ctx.scope(name):
         path = "/".join(ctx._path)
         if ctx.act_stats is not None:
-            # calibration capture: per-conv max-|input| as a traced scalar
-            ctx.act_stats[path] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            # calibration capture: per-conv max-|input| (or a percentile
+            # of |x| when act_pct is set) as a traced scalar
+            ax = jnp.abs(x.astype(jnp.float32))
+            ctx.act_stats[path] = (
+                jnp.max(ax) if ctx.act_pct is None
+                else jnp.percentile(ax, ctx.act_pct)
+            )
             ctx.conv_meta[path] = {"groups": groups}
         quantized = (
             ctx.params is not None and path + "/kernel_q8" in ctx.params

@@ -60,18 +60,24 @@ def default_exclude(path: str) -> bool:
 def collect_act_scales(
     model, params: Params, calib_images: Iterable[jax.Array],
     meta_out: Optional[Dict[str, dict]] = None,
+    pct: Optional[float] = None,
 ) -> Dict[str, float]:
     """Per-conv max-|input| over the calibration frames.
 
     `calib_images`: iterable of (B, H, W, 3) float arrays in [0, 1] — the
     same thing `model.forward` takes. Runs one jitted stats-forward per
     frame batch and maxes on the host. `meta_out`, if given, receives the
-    static per-conv metadata (group counts) captured at trace time."""
+    static per-conv metadata (group counts) captured at trace time.
+    `pct` (e.g. 99.9): record that percentile of |x| per frame instead of
+    the max — outlier-robust scales; the conv path saturates clipped
+    activations, so a tighter scale trades rare clipping for resolution
+    on the bulk of the distribution."""
 
     @jax.jit
     def stats(params, images):
         ctx = ParamCtx(params=params)
         ctx.act_stats = {}
+        ctx.act_pct = pct
         feats = model.backbone_neck(ctx, images.astype(compute_dtype()))
         model.head(ctx, feats)
         if meta_out is not None:

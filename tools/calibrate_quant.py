@@ -27,6 +27,11 @@ def main() -> int:
                    help="calibration frame count")
     p.add_argument("--out", default=None,
                    help="output JSON (default: <weights>.act_scales.json)")
+    p.add_argument("--pct", type=float, default=None,
+                   help="calibrate to this percentile of |x| per frame "
+                        "instead of the max (e.g. 99.9); outlier-robust "
+                        "scales — compare accuracy with "
+                        "tools/eval_quant_chip.py before shipping")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -66,7 +71,8 @@ def main() -> int:
     frames = tuple(range(0, 4 * args.frames, 4))
     batches = [b for s in srcs
                for b in quant.synth_calib_batches(pipe, s, frames=frames)]
-    scales = quant.collect_act_scales(pipe.model, params, batches)
+    scales = quant.collect_act_scales(pipe.model, params, batches,
+                                      pct=args.pct)
 
     out = args.out or quant.sidecar_path(args.weights)
     quant.save_act_scales(out, scales)

@@ -28,6 +28,9 @@ def main() -> int:
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--skip-fp", action="store_true")
     p.add_argument("--skip-int8", action="store_true")
+    p.add_argument("--scales", default=None,
+                   help="act-scales JSON to use instead of the default "
+                        "sidecar (e.g. a --pct calibration)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -71,9 +74,10 @@ def main() -> int:
             params, variant=variant, input_hw=input_hw,
             num_frames=args.frames, pipe=pipe)
     if not args.skip_int8:
-        sidecar = quant.sidecar_path(args.weights)
+        sidecar = args.scales or quant.sidecar_path(args.weights)
         scales = quant.load_act_scales(sidecar) if os.path.exists(sidecar) \
             else None
+        record["scales"] = os.path.basename(sidecar) if scales else "calibrated"
         if scales is None:
             print(f"# no sidecar at {sidecar}; calibrating", file=sys.stderr)
             src = SyntheticSource(num_cameras=2, num_frames=None,
