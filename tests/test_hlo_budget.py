@@ -77,3 +77,33 @@ def test_fused_step_sort_budget_accumulate():
     assert s["n_stable"] <= 1, s
     assert s["max_operands"] <= 4, s
     assert s["total_operands"] <= 25, s
+
+
+def test_quantized_step_lowering_runs_int8_convs():
+    """The int8 params dict must actually lower to s8xs8->s32
+    convolutions — a silent fall-through to the f32 path (e.g. a key
+    rename breaking the `kernel_q8` detection) passes every accuracy
+    test while giving back the 2x MXU rate the path exists for."""
+    from rt3d.models.yolo import quant
+
+    cfg = tiny_config()
+    pipe = build_pipeline(cfg)
+    params = pipe.model.init(jax.random.PRNGKey(0))
+    paths = list(quant.collect_conv_meta(pipe.model))
+    qparams = quant.quantize_params(
+        pipe.model, params, (), act_scales={p: 1.0 for p in paths})
+    n_q8 = sum(1 for k in qparams if k.endswith("/kernel_q8"))
+    assert n_q8 > 20  # most of the conv stack quantizes
+
+    state = pipe.init_state()
+    calib = CameraCalib.from_config(cfg)
+    c = len(cfg.rig.cameras)
+    rgb = jnp.zeros((c, H, W, 3), jnp.uint8)
+    depth = jnp.ones((c, H, W), jnp.float32)
+    txt = jax.jit(pipe.step).lower(
+        qparams, state, rgb, depth, calib).as_text()
+    int8_convs = sum(
+        1 for line in txt.splitlines()
+        if "stablehlo.convolution" in line and "xi8>" in line
+    )
+    assert int8_convs == n_q8, (int8_convs, n_q8)
