@@ -245,11 +245,17 @@ class PipelineConfig:
     # per-camera sorts only pre-shrink its input. At 1 mm voxels nearly
     # every ray is a distinct voxel (pixel footprint > voxel), so those
     # sorts (4x ~230 K rows at the stretch config) buy ~nothing and cost
-    # the most expensive ops in the frame. Semantic delta: a voxel seen by
-    # k rays in one frame gains k*accum_obs_weight instead of 1x — weight
-    # becomes per-RAY support, the same multi-counting the per-camera
-    # dedupe already allows ACROSS cameras. The extracted voxel SET is
-    # unchanged wherever weights clear `accum_min_weight` either way.
+    # the most expensive ops in the frame. Rays are still SNAPPED to voxel
+    # centers elementwise (no sort), so subtraction and the accumulator
+    # merge see exactly the coordinates the dedupe path publishes.
+    # Semantic delta: a voxel seen by k rays in one frame gains
+    # k*accum_obs_weight instead of 1x — weight becomes per-RAY support,
+    # the same multi-counting the per-camera dedupe already allows ACROSS
+    # cameras. The extracted voxel SET is unchanged wherever weights clear
+    # `accum_min_weight` either way (tested with live detections,
+    # tests/test_pipeline.py). Ignored when `workspace_sor` is on: kNN
+    # statistics are not duplicate-invariant, so raw mode would change
+    # which voxels SOR keeps.
     accum_skip_prededupe: bool = False
     # --- static capacities (padded buffer sizes; compile-time constants) ---
     # raw mask-union pixels entering the object-path sort (pre-dedupe)

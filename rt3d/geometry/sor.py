@@ -238,8 +238,10 @@ def sor_inlier_mask_windowed(
 ) -> jax.Array:
     """Workspace-scale SOR: Morton-window kNN + the global mu/sigma gate."""
     k = min(nb_neighbors, points.shape[0])
+    # _knn_mean_windowed folds saturation INTO the mean (saturated rows
+    # come back as exactly _BIG, and `saturated` is derived from that), so
+    # no re-masking of mean_d is needed here — unlike the exact-kNN path
     mean_d, saturated = _knn_mean_windowed(points, valid, k, window)
-    mean_d = jnp.where(saturated, _BIG, mean_d)
     vf = valid & ~saturated
     nv = jnp.maximum(jnp.sum(vf.astype(jnp.float32)), 1.0)
     mu = jnp.sum(jnp.where(vf, mean_d, 0.0)) / nv

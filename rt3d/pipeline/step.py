@@ -389,7 +389,11 @@ class Pipeline:
         # legal when the grid fits the buffer; with dedupe the capacity
         # bounds UNIQUE voxels instead, so the general path keeps working
         # on any grid size.
-        raw_ws = p.workspace_accumulate and p.accum_skip_prededupe
+        # Workspace SOR statistics are NOT duplicate-invariant (k co-located
+        # rays shrink a neighborhood's kNN mean), so raw mode would change
+        # which voxels SOR keeps — force the dedupe path when SOR is on.
+        raw_ws = (p.workspace_accumulate and p.accum_skip_prededupe
+                  and not p.workspace_sor)
 
         def finish(pts, valid):
             # pts/valid keep the (H, W) image-grid shape: the grid dedupe
@@ -399,7 +403,15 @@ class Pipeline:
                 pts, p.workspace_x_bounds, p.workspace_y_bounds, p.workspace_z_bounds
             )
             if raw_ws and pts.shape[0] * pts.shape[1] <= p.max_points_workspace:
-                fp = pts.reshape(-1, 3)
+                # snap rays to voxel centers ELEMENTWISE (the skipped work
+                # is the dedupe SORT, not the snap): downstream consumers
+                # (subtraction min-dist, accumulator merge) must see the
+                # same coordinates the dedupe path publishes, or
+                # near-threshold voxels flip between the two modes. Same
+                # convention as _quantize/_decode_packed: round-half-even
+                # index times voxel size.
+                fp = pts.reshape(-1, 3).astype(jnp.float32)
+                fp = jnp.round(fp / p.voxel_size) * p.voxel_size
                 fv = valid.reshape(-1)
                 pad = p.max_points_workspace - fv.shape[0]
                 if pad:

@@ -320,12 +320,13 @@ def test_accum_skip_prededupe_same_voxel_set():
     """`accum_skip_prededupe` (the 1 mm stretch optimization: raw rays feed
     the accumulator, whose merge is the global dedupe) must publish exactly
     the same extracted voxel SET as the per-camera-dedupe path — only the
-    weights may differ (per-ray vs per-voxel support). conf=0.99 keeps the
-    detector silent so subtraction can't flip near-threshold points between
-    the raw and snapped coordinate variants."""
+    weights may differ (per-ray vs per-voxel support). Runs with the
+    default conf so live detections exercise subtraction: the raw path
+    snaps rays to voxel centers before it, so near-threshold keep/drop
+    decisions are identical in both modes."""
     import dataclasses
 
-    base = tiny_config(conf=0.99)
+    base = tiny_config()
     sets = []
     for skip in (False, True):
         cfg = dataclasses.replace(
