@@ -36,7 +36,8 @@ def _wait_for_device(max_wait_s: float) -> bool:
     a short-lived subprocess (killable on timeout; the main process must
     not init a backend it would then be stuck with) and retry until the
     relay answers or `max_wait_s` passes. Returns True when a probe
-    succeeded; on False the caller proceeds anyway and fails naturally."""
+    succeeded; on False the caller emits an honest failure record and
+    exits nonzero (an unbounded backend-init hang would record nothing)."""
     import subprocess
     import time
 
@@ -230,6 +231,16 @@ def main() -> int:
                 accum_skip_prededupe=True,
             ),
         )
+        # the raw-ray path only engages when the strided grid fits the
+        # workspace buffer (step.py); say so rather than silently "measure"
+        # an optimization that fell through to the dedupe path
+        s = cfg.pipeline.workspace_stride
+        grid = -(-720 // s) * -(-1280 // s)
+        if grid > cfg.pipeline.max_points_workspace:
+            print(f"# ACCUM=1: skip_prededupe INACTIVE (grid {grid} > "
+                  f"max_points_workspace {cfg.pipeline.max_points_workspace}"
+                  "); set RT3D_BENCH_VOXEL_MM=1 for the raw-ray path",
+                  file=sys.stderr)
     src = SyntheticSource(num_cameras=cams, num_frames=16, hw=(720, 1280),
                           num_objects=1)
     # calibration comes from the source, like the reference reads it from
@@ -254,10 +265,13 @@ def main() -> int:
         # precomputed scales (tools/calibrate_quant.py sidecar) spare the
         # extra stats-forward compile — minutes on the dev relay
         sp = quant.sidecar_path(wpath)
-        scales = quant.load_act_scales(sp) if os.path.exists(sp) else None
+        scales = quant.load_act_scales(sp, weights_path=wpath) \
+            if os.path.exists(sp) else None
+        # only render+preprocess calibration batches when actually needed
+        # (with a sidecar they'd be computed and discarded)
+        calib_imgs = () if scales else quant.synth_calib_batches(pipe, src)
         params = quant.quantize_params(
-            pipe.model, params, quant.synth_calib_batches(pipe, src),
-            act_scales=scales)
+            pipe.model, params, calib_imgs, act_scales=scales)
         weights_kind += "+int8"
 
     host_packets = [src.get(i) for i in range(16)]

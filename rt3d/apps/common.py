@@ -140,16 +140,16 @@ def maybe_quantize_params(pipe, params, source, args, calib_frames=4):
     from rt3d.models.yolo import quant
 
     # a precomputed sidecar next to the weights artifact skips the
-    # stats-forward compile (tools/calibrate_quant.py)
+    # stats-forward compile (tools/calibrate_quant.py); its fingerprint
+    # check falls back to live calibration after a retrain
     scales = None
     w = pipe.cfg.model.weights
     if w:
         sp = quant.sidecar_path(w)
         if os.path.exists(sp):
-            scales = quant.load_act_scales(sp)
-    batches = [
-        pipe.preprocess(jax.numpy.asarray(source.get(i).rgb))
-        for i in range(calib_frames)
-    ]
+            scales = quant.load_act_scales(sp, weights_path=w)
+    # only render+preprocess calibration frames when actually needed
+    batches = () if scales else quant.synth_calib_batches(
+        pipe, source, frames=tuple(range(calib_frames)))
     return quant.quantize_params(pipe.model, params, batches,
                                  act_scales=scales)

@@ -173,18 +173,55 @@ def is_quantized(params: Params) -> bool:
     return any(k.endswith("/kernel_q8") for k in params)
 
 
-def save_act_scales(path: str, scales: Dict[str, float]) -> None:
+def weights_fingerprint(weights_path: str) -> str:
+    """sha256 of the weights artifact, prefixed for format evolution."""
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(weights_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return "sha256:" + h.hexdigest()
+
+
+def save_act_scales(path: str, scales: Dict[str, float],
+                    weights_path: Optional[str] = None) -> None:
+    """Writes `{"scales": {...}, "weights_fingerprint": ...}`. The
+    fingerprint lets loaders reject a sidecar left stale by retraining —
+    stale scales clip the new model's activations silently (no error,
+    just degraded detections)."""
     import json
 
+    doc: dict = {"scales": dict(sorted(scales.items()))}
+    if weights_path is not None:
+        doc["weights_fingerprint"] = weights_fingerprint(weights_path)
     with open(path, "w") as f:
-        json.dump(scales, f, indent=1, sort_keys=True)
+        json.dump(doc, f, indent=1)
 
 
-def load_act_scales(path: str) -> Dict[str, float]:
+def load_act_scales(path: str,
+                    weights_path: Optional[str] = None
+                    ) -> Optional[Dict[str, float]]:
+    """Returns the scales, or None when `weights_path` is given and the
+    sidecar's fingerprint doesn't match (callers then fall back to live
+    calibration). Legacy sidecars (a bare {path: scale} dict, no
+    fingerprint) load as-is."""
     import json
+    import sys
 
     with open(path) as f:
-        return {k: float(v) for k, v in json.load(f).items()}
+        doc = json.load(f)
+    if "scales" not in doc:  # legacy bare-dict format
+        return {k: float(v) for k, v in doc.items()}
+    fp = doc.get("weights_fingerprint")
+    if fp and weights_path is not None:
+        actual = weights_fingerprint(weights_path)
+        if actual != fp:
+            print(f"# {path}: stale sidecar (weights fingerprint "
+                  f"{actual[:20]}... != recorded {fp[:20]}...); "
+                  "recalibrating", file=sys.stderr)
+            return None
+    return {k: float(v) for k, v in doc["scales"].items()}
 
 
 def sidecar_path(weights_path: str) -> str:

@@ -111,8 +111,11 @@ def test_precomputed_sidecar_scales_work(quantized_setup):
     from tools.eval_synth import mask_iou
 
     pipe, params, _, src = quantized_setup
-    qp = quant.quantize_params(
-        pipe.model, params, [], act_scales=quant.load_act_scales(sp))
+    # weights_path engages the fingerprint check: a stale checked-in
+    # sidecar (weights retrained, sidecar not) must fail HERE, not ship
+    scales = quant.load_act_scales(sp, weights_path=WEIGHTS)
+    assert scales is not None, "checked-in sidecar is stale vs weights"
+    qp = quant.quantize_params(pipe.model, params, [], act_scales=scales)
     assert sum(1 for k in qp if k.endswith("/kernel_q8")) >= 80
     # the quality bar, not bit-parity: sidecar scales come from a
     # different (deploy) calibration run, so near-threshold detection
@@ -191,3 +194,31 @@ def test_percentile_act_scales_tighter_than_max(quantized_setup):
     # and strictly tighter somewhere: a 99th percentile of a real
     # activation distribution is below its max for most convs
     assert sum(s_pct[k] < s_max[k] - 1e-9 for k in s_max) > len(s_max) // 2
+
+
+def test_act_scale_sidecar_fingerprint(tmp_path):
+    """The sidecar records a sha256 of the weights artifact it was
+    calibrated against: after a retrain, loading with `weights_path` must
+    reject the stale scales (returns None -> callers fall back to live
+    calibration) instead of silently clipping the new model's
+    activations. Legacy bare-dict sidecars still load."""
+    from rt3d.models.yolo import quant
+
+    w = tmp_path / "model.npz"
+    w.write_bytes(b"weights-v1")
+    sp = str(tmp_path / "model.act_scales.json")
+    scales = {"0/conv": 1.5, "1/conv": 2.0}
+    quant.save_act_scales(sp, scales, weights_path=str(w))
+    assert quant.load_act_scales(sp, weights_path=str(w)) == scales
+    # no weights_path -> no check (callers without a weights file)
+    assert quant.load_act_scales(sp) == scales
+    # retrained weights -> stale sidecar rejected
+    w.write_bytes(b"weights-v2")
+    assert quant.load_act_scales(sp, weights_path=str(w)) is None
+    # legacy bare-dict format (no fingerprint) loads as-is
+    with open(sp, "w") as f:
+        json.dump(scales, f)
+    assert quant.load_act_scales(sp, weights_path=str(w)) == scales
+    # and a fingerprint-less save (no weights_path) never rejects
+    quant.save_act_scales(sp, scales)
+    assert quant.load_act_scales(sp, weights_path=str(w)) == scales

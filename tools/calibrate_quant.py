@@ -75,7 +75,7 @@ def main() -> int:
                                       pct=args.pct)
 
     out = args.out or quant.sidecar_path(args.weights)
-    quant.save_act_scales(out, scales)
+    quant.save_act_scales(out, scales, weights_path=args.weights)
     print(f"wrote {len(scales)} act scales -> {out}")
     return 0
 

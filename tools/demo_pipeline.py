@@ -56,10 +56,11 @@ def main() -> int:
         from rt3d.models.yolo import quant
 
         sp = quant.sidecar_path(wpath)
-        scales = quant.load_act_scales(sp) if os.path.exists(sp) else None
+        scales = quant.load_act_scales(sp, weights_path=wpath) \
+            if os.path.exists(sp) else None
+        calib_imgs = () if scales else quant.synth_calib_batches(pipe, src)
         params = quant.quantize_params(
-            pipe.model, params, quant.synth_calib_batches(pipe, src),
-            act_scales=scales)
+            pipe.model, params, calib_imgs, act_scales=scales)
         kind += "+int8"
     n_params = sum(int(np.prod(v.shape)) for v in params.values())
     print(f"init: {n_params/1e6:.1f}M params ({kind}) in {time.time()-t0:.1f}s")

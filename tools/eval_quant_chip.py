@@ -75,8 +75,8 @@ def main() -> int:
             num_frames=args.frames, pipe=pipe)
     if not args.skip_int8:
         sidecar = args.scales or quant.sidecar_path(args.weights)
-        scales = quant.load_act_scales(sidecar) if os.path.exists(sidecar) \
-            else None
+        scales = quant.load_act_scales(sidecar, weights_path=args.weights) \
+            if os.path.exists(sidecar) else None
         record["scales"] = os.path.basename(sidecar) if scales else "calibrated"
         if scales is None:
             print(f"# no sidecar at {sidecar}; calibrating", file=sys.stderr)

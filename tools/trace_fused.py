@@ -77,7 +77,7 @@ def main():
             from rt3d.models.yolo import quant
 
             sidecar = quant.sidecar_path(wpath)
-            scales = (quant.load_act_scales(sidecar)
+            scales = (quant.load_act_scales(sidecar, weights_path=wpath)
                       if os.path.exists(sidecar) else None)
             # src only holds 2 frames here — enough for a trace-run
             # fallback calibration when the sidecar is missing
