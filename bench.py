@@ -121,6 +121,14 @@ def main() -> int:
                 "metric": "e2e_fps_tpu_v5e", "value": 0.0, "unit": "fps",
                 "vs_baseline": 0.0,
                 "error": f"tpu_unreachable_after_{wait_s:.0f}s_wait",
+                # context for readers of the failure artifact: the last
+                # number this config measured on a healthy tunnel
+                # (NOTES.md round-3 table, 2026-08-17)
+                "last_chip_measured": {
+                    "value": 121.7, "unit": "fps", "vs_baseline": 4.64,
+                    "date": "2026-08-17",
+                    "config": "2cam HD720 yolo11x trained, scan=4",
+                },
             }))
             return 1
 
