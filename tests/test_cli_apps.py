@@ -130,6 +130,28 @@ def test_record_and_plots_cli(tmp_path, monkeypatch, capsys):
     assert "average_timing_per_step.png" in made
 
 
+def test_viewer_cli_once_headless(tmp_path, monkeypatch, capsys):
+    """`viewer --once` headless render over a spool written by the live
+    publisher (reference analog: the Open3D/cv2 windows in `2cams.py:165`,
+    read-side). ViewerState internals are covered by test_viewer; this
+    pins the argparse/poll-loop wiring."""
+    import json
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    with open(spool / "status.json", "w") as f:
+        json.dump({"frame": 7, "fps": 12.5, "objects": 2,
+                   "workspace_points": 345}, f)
+
+    from rt3d.apps import viewer
+
+    monkeypatch.setattr(sys, "argv", ["viewer", str(spool), "--once"])
+    assert viewer.main() == 0
+    out = capsys.readouterr().out
+    assert "frame 7" in out and "12.5 FPS" in out
+
+
 def test_convert_weights_cli(tmp_path, monkeypatch, capsys):
     torch = __import__("pytest").importorskip("torch")
     import numpy as np
