@@ -185,16 +185,21 @@ def weights_fingerprint(weights_path: str) -> str:
 
 
 def save_act_scales(path: str, scales: Dict[str, float],
-                    weights_path: Optional[str] = None) -> None:
+                    weights_path: Optional[str] = None,
+                    calibration: Optional[dict] = None) -> None:
     """Writes `{"scales": {...}, "weights_fingerprint": ...}`. The
     fingerprint lets loaders reject a sidecar left stale by retraining —
     stale scales clip the new model's activations silently (no error,
-    just degraded detections)."""
+    just degraded detections). `calibration` (e.g. {"mode": "pct",
+    "pct": 99.9} or {"mode": "max"}) is recorded verbatim so a sidecar
+    is self-describing when A/B-ing scale recipes."""
     import json
 
     doc: dict = {"scales": dict(sorted(scales.items()))}
     if weights_path is not None:
         doc["weights_fingerprint"] = weights_fingerprint(weights_path)
+    if calibration is not None:
+        doc["calibration"] = calibration
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
 

@@ -222,3 +222,9 @@ def test_act_scale_sidecar_fingerprint(tmp_path):
     # and a fingerprint-less save (no weights_path) never rejects
     quant.save_act_scales(sp, scales)
     assert quant.load_act_scales(sp, weights_path=str(w)) == scales
+    # calibration metadata rides along verbatim and doesn't break loading
+    quant.save_act_scales(sp, scales, weights_path=str(w),
+                          calibration={"mode": "pct", "pct": 99.9})
+    assert quant.load_act_scales(sp, weights_path=str(w)) == scales
+    with open(sp) as f:
+        assert json.load(f)["calibration"] == {"mode": "pct", "pct": 99.9}

@@ -75,7 +75,11 @@ def main() -> int:
                                       pct=args.pct)
 
     out = args.out or quant.sidecar_path(args.weights)
-    quant.save_act_scales(out, scales, weights_path=args.weights)
+    calibration = ({"mode": "pct", "pct": args.pct} if args.pct
+                   else {"mode": "max"})
+    calibration["frames"] = len(batches)
+    quant.save_act_scales(out, scales, weights_path=args.weights,
+                          calibration=calibration)
     print(f"wrote {len(scales)} act scales -> {out}")
     return 0
 
