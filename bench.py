@@ -172,6 +172,16 @@ def main() -> int:
                 cfg.tracker, tracker_type="botsort", with_reid=True,
                 gmc=True),
         )
+    # RT3D_BENCH_MASK_BF16=1: retina-mask upsample in bf16 (halves the
+    # largest non-conv HBM write; accuracy band gated in
+    # tests/test_yolo_model.py). A/B knob until chip-measured.
+    if os.environ.get("RT3D_BENCH_MASK_BF16"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, mask_resize_dtype="bfloat16"),
+        )
 
     # trained weights make the benched pipeline a WORKING detector (real
     # detections -> real fusion/SOR/subtraction work); random init leaves

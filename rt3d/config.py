@@ -186,6 +186,14 @@ class ModelConfig:
     class_filter: Tuple[int, ...] = (39, 41)  # Bottle + Cup, `2cams_mask_gpu.py:274`
     weights: Optional[str] = None   # path to converted params (.npz) or .pt
     compute_dtype: str = "bfloat16"
+    # dtype of the retina-mask bilinear upsample (the largest non-conv
+    # HBM consumer: proto-res -> full-res over max_detections slots).
+    # "bfloat16" halves its traffic and runs the resize contractions at
+    # the MXU's native rate; probabilities only lose resolution inside a
+    # ~0.004-wide band around the 0.5 threshold (a <=1 px boundary
+    # jitter, gated by tests/test_yolo_model.py). f32 default until the
+    # on-chip A/B records the win.
+    mask_resize_dtype: str = "float32"
 
 
 # ---------------------------------------------------------------------------

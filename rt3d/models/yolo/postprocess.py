@@ -212,17 +212,26 @@ def assemble_masks_retina(
     coeffs: jax.Array,       # (D, nm)
     boxes_orig: jax.Array,   # (D, 4) xyxy in original-image pixels
     meta: LetterboxMeta,
+    resize_dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Full-resolution instance masks, the `retina_masks=True` path
     (ultralytics `process_mask_native`): sigmoid(coeff . proto), crop the
     letterbox padding, bilinear-upsample to the original image, crop to the
-    box, threshold 0.5. Returns (D, H, W) bool."""
+    box, threshold 0.5. Returns (D, H, W) bool.
+
+    `resize_dtype=bfloat16` runs the upsample (the HBM-dominant op: the
+    full-res (D, H, W) write is ~16x the proto-res read) in half the
+    bytes at the MXU's native rate. Only pixels whose interpolated
+    probability lands within bf16 resolution (~0.004) of the 0.5
+    threshold can flip — a <=1 px band at mask boundaries; for the
+    standard 8x upsample the interpolation weights (k/16) are exact in
+    bf16, so the data rounding is the only error source."""
     hp, wp, nm = protos.shape
     d = coeffs.shape[0]
     logits = jnp.einsum(
         "dn,hwn->dhw", coeffs, protos, preferred_element_type=jnp.float32
     )
-    m = jax.nn.sigmoid(logits)
+    m = jax.nn.sigmoid(logits).astype(resize_dtype)
     # strip letterbox padding at proto scale (static slicing)
     proto_stride = meta.dst_hw[0] // hp
     top = meta.pad_top // proto_stride

@@ -301,9 +301,11 @@ class Pipeline:
         eroded per mask (`2cams_mask_cpu.py:583-586` applies cv2 12x12
         erosion to every mask before backprojection)."""
         meta = self._meta()
+        rdt = jnp.dtype(self.cfg.model.mask_resize_dtype)
 
         def one(pr, d):
-            return assemble_masks_retina(pr, d.coeffs, d.boxes, meta)
+            return assemble_masks_retina(pr, d.coeffs, d.boxes, meta,
+                                         resize_dtype=rdt)
 
         out = jax.vmap(one)(protos, det)
         k = self.cfg.pipeline.erode_kernel

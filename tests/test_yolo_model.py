@@ -205,6 +205,38 @@ def test_mask_assembly_shapes_and_crop():
     assert not m[1].any() and not m[2].any()
 
 
+def test_mask_assembly_bf16_resize_boundary_band():
+    """`resize_dtype=bfloat16` (ModelConfig.mask_resize_dtype) may flip a
+    pixel only where the interpolated probability sits within bf16
+    resolution of the 0.5 threshold — i.e. ON the f32 mask's boundary.
+    Interior/exterior pixels must be identical."""
+    rng = np.random.default_rng(0)
+    meta = letterbox_params((96, 160), (48, 80))
+    # realistic logit magnitudes: trained protos/coeffs produce O(5-10)
+    # logits with smooth spatial structure
+    protos = rng.normal(0.0, 2.0, (12, 20, 8)).astype(np.float32)
+    coeffs = rng.normal(0.0, 1.0, (4, 8)).astype(np.float32)
+    boxes = np.tile(np.array([[0, 0, 160, 96]], np.float32), (4, 1))
+
+    m32 = np.asarray(assemble_masks_retina(
+        jnp.asarray(protos), jnp.asarray(coeffs), jnp.asarray(boxes), meta))
+    m16 = np.asarray(assemble_masks_retina(
+        jnp.asarray(protos), jnp.asarray(coeffs), jnp.asarray(boxes), meta,
+        resize_dtype=jnp.bfloat16))
+
+    flips = m32 ^ m16
+    assert flips.mean() < 0.01  # a thin band, not a different mask
+    if flips.any():
+        # every flipped pixel lies on the f32 boundary: its 3x3
+        # neighborhood contains both mask and background
+        d, ys, xs = np.nonzero(flips)
+        for di, yi, xi in zip(d, ys, xs):
+            nb = m32[di,
+                     max(yi - 1, 0):yi + 2,
+                     max(xi - 1, 0):xi + 2]
+            assert nb.any() and not nb.all(), (di, yi, xi)
+
+
 def test_conv_bn_fusion_matches_torch():
     torch = pytest.importorskip("torch")
     tnn = torch.nn
