@@ -41,6 +41,41 @@ def test_fused_step_runs_and_shapes(pipe_and_params):
     assert int(state.tracker.frame_id[0]) == 2
 
 
+def test_masks_bf16_resize_config_plumbing():
+    """ModelConfig.mask_resize_dtype='bfloat16' flows through
+    Pipeline.masks (vmap + erode wiring) and yields the same bool masks
+    up to the documented <=1 px boundary band (numerics pinned by
+    tests/test_yolo_model.py; this pins the config-to-op plumbing)."""
+    import dataclasses
+
+    from rt3d.models.yolo.postprocess import Detections
+
+    base = tiny_config()
+    rng = np.random.default_rng(1)
+    d = base.model.max_detections
+    nm = base.model.num_mask_coeffs
+    hp, wp = base.model.input_hw[0] // 4, base.model.input_hw[1] // 4
+    protos = jnp.asarray(rng.normal(0.0, 2.0, (2, hp, wp, nm)), jnp.float32)
+    det = Detections(
+        boxes=jnp.asarray(
+            rng.uniform(0, [W // 2, H // 2, W, H], (2, d, 4)), jnp.float32),
+        scores=jnp.ones((2, d), jnp.float32),
+        classes=jnp.zeros((2, d), jnp.int32),
+        coeffs=jnp.asarray(rng.normal(0.0, 1.0, (2, d, nm)), jnp.float32),
+        valid=jnp.ones((2, d), bool),
+    )
+    outs = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, mask_resize_dtype=dt))
+        pipe = build_pipeline(cfg)
+        outs[dt] = np.asarray(jax.jit(pipe.masks)(protos, det))
+    assert outs["float32"].shape == (2, d, H, W)
+    assert outs["float32"].dtype == bool
+    flips = outs["float32"] ^ outs["bfloat16"]
+    assert flips.mean() < 0.01
+
+
 def test_oracle_mask_object_reconstruction(pipe_and_params):
     """Bypass the (random-weight) detector: feed ground-truth masks through
     the geometry stages and check the reconstructed object."""
