@@ -172,15 +172,23 @@ def main() -> int:
                 cfg.tracker, tracker_type="botsort", with_reid=True,
                 gmc=True),
         )
-    # RT3D_BENCH_MASK_BF16=1: retina-mask upsample in bf16 (halves the
-    # largest non-conv HBM write; accuracy band gated in
-    # tests/test_yolo_model.py). A/B knob until chip-measured.
+    # RT3D_BENCH_MASK_BF16=1 / RT3D_BENCH_PREPROC_BF16=1: run the retina-
+    # mask upsample / letterbox resize in bf16 (the two non-conv resize
+    # HBM consumers; accuracy bands gated in tests/test_yolo_model.py).
+    # A/B knobs until chip-measured.
     if os.environ.get("RT3D_BENCH_MASK_BF16"):
         import dataclasses
 
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
                 cfg.model, mask_resize_dtype="bfloat16"),
+        )
+    if os.environ.get("RT3D_BENCH_PREPROC_BF16"):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, preprocess_dtype="bfloat16"),
         )
 
     # trained weights make the benched pipeline a WORKING detector (real

@@ -186,6 +186,13 @@ class ModelConfig:
     class_filter: Tuple[int, ...] = (39, 41)  # Bottle + Cup, `2cams_mask_gpu.py:274`
     weights: Optional[str] = None   # path to converted params (.npz) or .pt
     compute_dtype: str = "bfloat16"
+    # dtype of the letterbox resize (HD720 u8 -> model-input RGB). The
+    # bf16 option halves the full-res f32 intermediate (11 MB/camera)
+    # and feeds the bf16 conv stem castless; input values are 8-bit
+    # quantized anyway, so only resize interpolation precision changes
+    # (~0.2%, gated like mask_resize_dtype). f32 default until the
+    # on-chip A/B records the win.
+    preprocess_dtype: str = "float32"
     # dtype of the retina-mask bilinear upsample (the largest non-conv
     # HBM consumer: proto-res -> full-res over max_detections slots).
     # "bfloat16" halves its traffic and runs the resize contractions at

@@ -63,10 +63,19 @@ def letterbox_params(src_hw: Tuple[int, int], dst_hw: Tuple[int, int]) -> Letter
     )
 
 
-def preprocess_frame(frame_bgr: jax.Array, meta: LetterboxMeta) -> jax.Array:
-    """(H, W, 3) BGR uint8 -> (dst_h, dst_w, 3) f32 RGB in [0,1], letterboxed
-    with the ultralytics 114-gray fill."""
-    img = frame_bgr[..., ::-1].astype(jnp.float32) / 255.0
+def preprocess_frame(frame_bgr: jax.Array, meta: LetterboxMeta,
+                     dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """(H, W, 3) BGR uint8 -> (dst_h, dst_w, 3) RGB in [0,1], letterboxed
+    with the ultralytics 114-gray fill.
+
+    `dtype=bfloat16` (ModelConfig.preprocess_dtype) runs the resize in
+    half the HBM bytes at the MXU's native rate and feeds the bf16 conv
+    stem without a cast. u8 values 0..255 are exact in bf16 (8
+    significand bits); normalization + interpolation round at bf16's
+    ~2^-8 relative resolution — within two 8-bit quantization steps of
+    the f32 path even on noise inputs (tests/test_yolo_model.py), and
+    the stem consumes bf16 either way."""
+    img = frame_bgr[..., ::-1].astype(dtype) / jnp.asarray(255.0, dtype)
     nh, nw = meta.new_hw
     # NOTE(perf): a reshape-mean "fast path" for the exact-half scale was
     # tried and REVERTED (2026-08-17): the (nh,2,nw,2,3) reshape splits

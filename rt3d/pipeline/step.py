@@ -175,9 +175,11 @@ class Pipeline:
         return letterbox_params(src_hw, self.model.input_hw)
 
     def preprocess(self, rgb: jax.Array) -> jax.Array:
-        """(C, H, W, 3) u8 -> (C, h, w, 3) f32 letterboxed batch."""
+        """(C, H, W, 3) u8 -> (C, h, w, 3) letterboxed batch
+        (ModelConfig.preprocess_dtype, f32 default)."""
         meta = self._meta()
-        return jax.vmap(lambda f: preprocess_frame(f, meta))(rgb)
+        pdt = jnp.dtype(self.cfg.model.preprocess_dtype)
+        return jax.vmap(lambda f: preprocess_frame(f, meta, dtype=pdt))(rgb)
 
     def detect(
         self, params, images: jax.Array

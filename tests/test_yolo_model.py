@@ -189,6 +189,22 @@ def test_letterbox_geometry():
     np.testing.assert_allclose(orig[0], [0, 0, 1280, 720])
 
 
+def test_preprocess_bf16_within_sensor_quantization():
+    """`preprocess_dtype=bfloat16` must stay within two 8-bit input
+    quantization steps (2/255) of the f32 letterbox everywhere — even on
+    the adversarial case for bf16 interpolation (uniform noise, where
+    every output sits near 0.5 with ~2^-8 relative rounding; measured
+    worst case 1.11/255)."""
+    rng = np.random.default_rng(3)
+    meta = letterbox_params((96, 160), (48, 80))
+    frame = jnp.asarray(rng.integers(0, 256, (96, 160, 3)), jnp.uint8)
+    f32 = np.asarray(preprocess_frame(frame, meta), np.float32)
+    b16 = np.asarray(
+        preprocess_frame(frame, meta, dtype=jnp.bfloat16), np.float32)
+    assert b16.shape == f32.shape
+    assert np.abs(b16 - f32).max() < 2.0 / 255.0
+
+
 def test_mask_assembly_shapes_and_crop():
     meta = letterbox_params((96, 160), (48, 80))
     protos = np.zeros((12, 20, 8), np.float32)

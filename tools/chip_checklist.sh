@@ -76,10 +76,12 @@ if [ "${RT3D_CHECKLIST_EXTRAS:-}" = "1" ]; then
   # 7. int8 step attribution for the NOTES table
   RT3D_TRACE_TRAINED=1 RT3D_TRACE_QUANT=1 RT3D_DEMO_VARIANT=x \
     run_step 08 trace_int8 3600 python tools/trace_fused.py
-  # 8. bf16 retina-mask upsample A/B (fast mode; flip the config default
-  #    if it wins and the band test keeps holding)
+  # 8. bf16 resize A/B: retina-mask upsample + letterbox preprocess (fast
+  #    mode; flip the config defaults if they win and the band tests hold)
   RT3D_BENCH_MASK_BF16=1 RT3D_BENCH_FAST=1 \
     run_step 09 bench_mask_bf16 5400 python bench.py
+  RT3D_BENCH_MASK_BF16=1 RT3D_BENCH_PREPROC_BF16=1 RT3D_BENCH_FAST=1 \
+    run_step 10 bench_resize_bf16 5400 python bench.py
 fi
 
 echo "=== checklist done; summary:" | tee -a "$SUMMARY"
