@@ -125,36 +125,58 @@ def solve_matching_exact(
 def solve_matching_greedy(
     cost: jax.Array, thresh: float
 ) -> Tuple[jax.Array, jax.Array]:
-    """Greedy thresholded matching: repeatedly claim the globally cheapest
-    feasible pair (min(R, C) fixed iterations, fully vectorized).
+    """Greedy thresholded matching via mutual-minimum acceptance rounds:
+    each round simultaneously claims EVERY feasible pair that is both its
+    row's argmin and its column's argmin, then masks the claimed rows and
+    columns. Bit-identical to claiming the globally cheapest pair one at
+    a time (with argmin's lowest-index tie-break the two orders select
+    the same pairs — fuzzed over tie-heavy integer costs in
+    tests/test_tracking.py), but the sequential depth drops from
+    min(R, C) argmin iterations to the number of acceptance rounds —
+    measured mean 2.5 / max 4 on tracking-shaped 40x20 near-binary IoU
+    matrices, vs 20 before (the same selection-rounds trick as the NMS
+    rewrite).
 
     TPU-latency rationale: the exact Hungarian solve is nested sequential
     `while` loops — ~100 ms/frame of pure loop latency at 64x20 on a v5e.
-    Greedy runs min(R,C) `fori` iterations of one argmin each (<1 ms) and
-    agrees with the optimal matching whenever costs are unambiguous, which
-    tracking IoU matrices essentially always are (crossings decided by a
-    few 1e-2-scale IoU differences at most). Selectable via
-    TrackerConfig.assignment = 'greedy' (default) | 'exact'.
+    Greedy agrees with the optimal matching whenever costs are
+    unambiguous, which tracking IoU matrices essentially always are
+    (crossings decided by a few 1e-2-scale IoU differences at most).
+    Selectable via TrackerConfig.assignment = 'greedy' (default) |
+    'refined' | 'exact'.
     """
     r, c = cost.shape
+    if r == 0 or c == 0:
+        return (jnp.full((r,), -1, jnp.int32),
+                jnp.full((c,), -1, jnp.int32))
     big = jnp.float32(1e9)
     cm = jnp.where(cost < thresh, cost, big)
+    rows = jnp.arange(r, dtype=jnp.int32)
 
-    def body(_, state):
-        cm_, col_of_row, row_of_col = state
-        flat = jnp.argmin(cm_)
-        i = (flat // c).astype(jnp.int32)
-        j = (flat % c).astype(jnp.int32)
-        ok = cm_[i, j] < big
-        col_of_row = jnp.where(ok, col_of_row.at[i].set(j), col_of_row)
-        row_of_col = jnp.where(ok, row_of_col.at[j].set(i), row_of_col)
-        row_mask = jnp.arange(r)[:, None] == i
-        col_mask = jnp.arange(c)[None, :] == j
-        cm_ = jnp.where(ok & (row_mask | col_mask), big, cm_)
-        return cm_, col_of_row, row_of_col
+    def cond(state):
+        _, _, _, progressed, k = state
+        # the round counter only bounds adversarial inputs; real matrices
+        # exhaust `progressed` in a few rounds
+        return progressed & (k < min(r, c))
 
-    init = (cm, jnp.full((r,), -1, jnp.int32), jnp.full((c,), -1, jnp.int32))
-    _, col_of_row, row_of_col = jax.lax.fori_loop(0, min(r, c), body, init)
+    def body(state):
+        cm_, col_of_row, row_of_col, _, k = state
+        rmin = jnp.argmin(cm_, axis=1).astype(jnp.int32)   # (r,)
+        cmin = jnp.argmin(cm_, axis=0).astype(jnp.int32)   # (c,)
+        mutual = (cm_[rows, rmin] < big) & (cmin[rmin] == rows)
+        col_of_row = jnp.where(mutual, rmin, col_of_row)
+        # two mutual rows can never claim the same column (each claimed
+        # column's argmin is unique), so the scatters below are
+        # duplicate-free; non-mutual rows scatter out of bounds -> drop
+        tgt = jnp.where(mutual, rmin, c)
+        row_of_col = row_of_col.at[tgt].set(rows, mode="drop")
+        col_hit = jnp.zeros((c,), bool).at[tgt].set(True, mode="drop")
+        cm_ = jnp.where(mutual[:, None] | col_hit[None, :], big, cm_)
+        return cm_, col_of_row, row_of_col, mutual.any(), k + 1
+
+    init = (cm, jnp.full((r,), -1, jnp.int32),
+            jnp.full((c,), -1, jnp.int32), jnp.bool_(True), jnp.int32(0))
+    _, col_of_row, row_of_col, _, _ = jax.lax.while_loop(cond, body, init)
     return col_of_row, row_of_col
 
 

@@ -60,6 +60,48 @@ def test_hungarian_matches_scipy(rng, n):
         assert len(set(col.tolist())) == n  # a permutation
 
 
+def test_greedy_rounds_bit_identical_to_sequential():
+    """The mutual-minimum acceptance rounds in solve_matching_greedy must
+    select EXACTLY the pairs of the defining sequential procedure (claim
+    the globally cheapest feasible pair, mask its row+column, repeat) —
+    including under heavy cost ties, where both sides rely on argmin's
+    lowest-index tie-break."""
+    from rt3d.tracking.assignment import solve_matching_greedy
+
+    big = 1e9
+
+    def sequential_oracle(cost, thresh):
+        r, c = cost.shape
+        cm = np.where(cost < thresh, cost, big)
+        cor = -np.ones(r, np.int32)
+        roc = -np.ones(c, np.int32)
+        for _ in range(min(r, c)):
+            flat = np.argmin(cm)
+            i, j = flat // c, flat % c
+            if cm[i, j] >= big:
+                break
+            cor[i], roc[j] = j, i
+            cm[i, :] = big
+            cm[:, j] = big
+        return cor, roc
+
+    rng = np.random.default_rng(0)
+    for trial in range(300):
+        r = int(rng.integers(0, 9))
+        c = int(rng.integers(0, 9))
+        if rng.random() < 0.5:  # tie-heavy integer costs
+            cost = rng.integers(0, 4, (r, c)).astype(np.float32)
+        else:
+            cost = (rng.random((r, c)) * 2).astype(np.float32)
+        thresh = float(rng.choice([0.5, 1.0, 3.0]))
+        want = sequential_oracle(cost, thresh)
+        got = solve_matching_greedy(jnp.asarray(cost), thresh)
+        np.testing.assert_array_equal(np.asarray(got[0]), want[0],
+                                      err_msg=f"trial {trial} cols")
+        np.testing.assert_array_equal(np.asarray(got[1]), want[1],
+                                      err_msg=f"trial {trial} rows")
+
+
 def test_solve_matching_threshold_and_rect(rng):
     cost = np.array(
         [[0.1, 0.9, 0.8], [0.85, 0.2, 0.95]], dtype=np.float32
