@@ -108,6 +108,126 @@ class _ChunkLoop(_Loop):
         return rgb, depth, [True] * k
 
 
+def build_bench_config(env=None):
+    """Resolve the RT3D_BENCH_* environment into the benched Config.
+
+    Factored out of main() so the env->config wiring the end-of-round
+    driver run depends on is unit-testable without a device
+    (tests/test_bench_guard.py). Returns (cfg, info) with info =
+    {preset, variant, tracker, cams, voxel_mm}.
+    """
+    import dataclasses
+
+    env = os.environ if env is None else env
+    from rt3d.config import (
+        reference_1cam_config, reference_2cam_config,
+        reference_2cam_cpu_config,
+    )
+
+    # RT3D_BENCH_PRESET selects which reference entry point's config is
+    # benched: gpu (default, the published-numbers config), cpu
+    # (`2cams_mask_cpu.py`: 1 cm voxel, erode 12x12, workspace SOR,
+    # BASELINE.json configs[0]; the reference pairs it with yolo11n),
+    # 1cam (`1cam/rt-tracking.py`, BASELINE.json configs[1]).
+    preset = env.get("RT3D_BENCH_PRESET", "gpu")
+    cfg = {"gpu": reference_2cam_config,
+           "cpu": reference_2cam_cpu_config,
+           "1cam": reference_1cam_config}[preset]()
+    variant = env.get("RT3D_BENCH_VARIANT",
+                      "n" if preset == "cpu" else cfg.model.variant)
+    if variant != cfg.model.variant:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, variant=variant)
+        )
+    # RT3D_BENCH_TRACKER=botsort measures the BoT-SORT extensions' device
+    # cost (detector-feature ReID pooling + affine GMC at HD720) — the
+    # reference's `botsort.yaml:14-19` configuration
+    tracker = env.get("RT3D_BENCH_TRACKER", "bytetrack")
+    if tracker == "botsort":
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(
+                cfg.tracker, tracker_type="botsort", with_reid=True,
+                gmc=True),
+        )
+    # RT3D_BENCH_MASK_BF16=1 / RT3D_BENCH_PREPROC_BF16=1: run the retina-
+    # mask upsample / letterbox resize in bf16 (the two non-conv resize
+    # HBM consumers; accuracy bands gated in tests/test_yolo_model.py).
+    # A/B knobs until chip-measured.
+    if env.get("RT3D_BENCH_MASK_BF16"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, mask_resize_dtype="bfloat16"),
+        )
+    if env.get("RT3D_BENCH_PREPROC_BF16"):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, preprocess_dtype="bfloat16"),
+        )
+    # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
+    # chip — the camera axis also shards over a mesh (tests/test_multihost)
+    cams = int(env.get("RT3D_BENCH_CAMS",
+                       "1" if preset == "1cam" else "2"))
+    # RT3D_BENCH_VOXEL_MM=1 exercises the BASELINE stretch voxel size. At
+    # 1 mm nearly every depth pixel maps to a distinct voxel, so the
+    # capacities must grow to the ray counts: 640x360 strided rays/cam for
+    # the workspace, mask-pixel counts for objects. The packed int32 voxel
+    # key doesn't fit at 1 mm (5121^3 cells) — the lexicographic 3-key
+    # sort fallback engages automatically (tests/test_scaling.py).
+    preset_mm = cfg.pipeline.voxel_size * 1000.0  # 10 for the cpu preset
+    voxel_mm = float(env.get("RT3D_BENCH_VOXEL_MM", str(preset_mm)))
+    if voxel_mm != preset_mm:
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline, voxel_size=voxel_mm / 1000.0),
+        )
+    if voxel_mm < 5.0:
+        # finer-than-default voxels need the capacities grown to the ray
+        # counts (at 1 mm nearly every depth pixel is a distinct voxel)
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                max_points_workspace=262144,
+                max_points_workspace_fused=262144 * cams,
+                max_union_voxels=65536,
+                max_points_per_object=8192,
+                max_points_fused_object=16384,
+                max_points_fused_flat=32768,
+            ),
+        )
+    # RT3D_BENCH_ACCUM=1 turns on persistent workspace accumulation — the
+    # full BASELINE stretch config is CAMS=4 VOXEL_MM=1 ACCUM=1 ("4-camera
+    # fusion at 1mm voxel with persistent TSDF-style workspace
+    # accumulation"). The accumulator must hold the union of the fused
+    # workspace across frames, so its capacity tracks the fused buffer.
+    if env.get("RT3D_BENCH_ACCUM"):
+        cfg = dataclasses.replace(
+            cfg,
+            pipeline=dataclasses.replace(
+                cfg.pipeline,
+                workspace_accumulate=True,
+                accum_capacity=cfg.pipeline.max_points_workspace_fused,
+                # the accumulator merge is the global dedupe; per-camera
+                # pre-dedupe sorts are redundant here (config.py rationale)
+                accum_skip_prededupe=True,
+            ),
+        )
+        # the raw-ray path only engages when the strided grid fits the
+        # workspace buffer (step.py); say so rather than silently "measure"
+        # an optimization that fell through to the dedupe path
+        s = cfg.pipeline.workspace_stride
+        grid = -(-720 // s) * -(-1280 // s)
+        if grid > cfg.pipeline.max_points_workspace:
+            print(f"# ACCUM=1: skip_prededupe INACTIVE (grid {grid} > "
+                  f"max_points_workspace {cfg.pipeline.max_points_workspace}"
+                  "); set RT3D_BENCH_VOXEL_MM=1 for the raw-ray path",
+                  file=sys.stderr)
+    info = {"preset": preset, "variant": variant, "tracker": tracker,
+            "cams": cams, "voxel_mm": voxel_mm}
+    return cfg, info
+
+
 def main() -> int:
     # only the tunnel backend needs the guard (CPU init can't hang), and
     # RT3D_BENCH_WAIT_S=0 disables it
@@ -144,52 +264,20 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from rt3d.config import reference_2cam_config, with_cameras
+    from rt3d.config import with_cameras
     from rt3d.io.synthetic import SyntheticSource
     from rt3d.pipeline.step import build_pipeline
     from rt3d.runtime.driver import PipelineDriver
 
-    variant = os.environ.get("RT3D_BENCH_VARIANT", "x")
     frames = int(os.environ.get("RT3D_BENCH_FRAMES", "160"))
     fast = bool(os.environ.get("RT3D_BENCH_FAST"))
 
-    cfg = reference_2cam_config()
-    if variant != cfg.model.variant:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, variant=variant)
-        )
-    # RT3D_BENCH_TRACKER=botsort measures the BoT-SORT extensions' device
-    # cost (detector-feature ReID pooling + affine GMC at HD720) — the
-    # reference's `botsort.yaml:14-19` configuration
-    tracker = os.environ.get("RT3D_BENCH_TRACKER", "bytetrack")
-    if tracker == "botsort":
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, tracker=dataclasses.replace(
-                cfg.tracker, tracker_type="botsort", with_reid=True,
-                gmc=True),
-        )
-    # RT3D_BENCH_MASK_BF16=1 / RT3D_BENCH_PREPROC_BF16=1: run the retina-
-    # mask upsample / letterbox resize in bf16 (the two non-conv resize
-    # HBM consumers; accuracy bands gated in tests/test_yolo_model.py).
-    # A/B knobs until chip-measured.
-    if os.environ.get("RT3D_BENCH_MASK_BF16"):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(
-                cfg.model, mask_resize_dtype="bfloat16"),
-        )
-    if os.environ.get("RT3D_BENCH_PREPROC_BF16"):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, model=dataclasses.replace(
-                cfg.model, preprocess_dtype="bfloat16"),
-        )
+    cfg, info = build_bench_config()
+    preset = info["preset"]
+    variant = info["variant"]
+    tracker = info["tracker"]
+    cams = info["cams"]
+    voxel_mm = info["voxel_mm"]
 
     # trained weights make the benched pipeline a WORKING detector (real
     # detections -> real fusion/SOR/subtraction work); random init leaves
@@ -212,61 +300,6 @@ def main() -> int:
     # prefetch thread). host_path_fps below exercises the true
     # host->device prefetch path anyway, for runs on healthy hosts.
 
-    # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
-    # chip — the camera axis also shards over a mesh (tests/test_multihost)
-    cams = int(os.environ.get("RT3D_BENCH_CAMS", "2"))
-    # RT3D_BENCH_VOXEL_MM=1 exercises the BASELINE stretch voxel size. At
-    # 1 mm nearly every depth pixel maps to a distinct voxel, so the
-    # capacities must grow to the ray counts: 640x360 strided rays/cam for
-    # the workspace, mask-pixel counts for objects. The packed int32 voxel
-    # key doesn't fit at 1 mm (5121^3 cells) — the lexicographic 3-key
-    # sort fallback engages automatically (tests/test_scaling.py).
-    voxel_mm = float(os.environ.get("RT3D_BENCH_VOXEL_MM", "5"))
-    if voxel_mm != 5.0:
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg,
-            pipeline=dataclasses.replace(
-                cfg.pipeline,
-                voxel_size=voxel_mm / 1000.0,
-                max_points_workspace=262144,
-                max_points_workspace_fused=262144 * cams,
-                max_union_voxels=65536,
-                max_points_per_object=8192,
-                max_points_fused_object=16384,
-                max_points_fused_flat=32768,
-            ),
-        )
-    # RT3D_BENCH_ACCUM=1 turns on persistent workspace accumulation — the
-    # full BASELINE stretch config is CAMS=4 VOXEL_MM=1 ACCUM=1 ("4-camera
-    # fusion at 1mm voxel with persistent TSDF-style workspace
-    # accumulation"). The accumulator must hold the union of the fused
-    # workspace across frames, so its capacity tracks the fused buffer.
-    if os.environ.get("RT3D_BENCH_ACCUM"):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg,
-            pipeline=dataclasses.replace(
-                cfg.pipeline,
-                workspace_accumulate=True,
-                accum_capacity=cfg.pipeline.max_points_workspace_fused,
-                # the accumulator merge is the global dedupe; per-camera
-                # pre-dedupe sorts are redundant here (config.py rationale)
-                accum_skip_prededupe=True,
-            ),
-        )
-        # the raw-ray path only engages when the strided grid fits the
-        # workspace buffer (step.py); say so rather than silently "measure"
-        # an optimization that fell through to the dedupe path
-        s = cfg.pipeline.workspace_stride
-        grid = -(-720 // s) * -(-1280 // s)
-        if grid > cfg.pipeline.max_points_workspace:
-            print(f"# ACCUM=1: skip_prededupe INACTIVE (grid {grid} > "
-                  f"max_points_workspace {cfg.pipeline.max_points_workspace}"
-                  "); set RT3D_BENCH_VOXEL_MM=1 for the raw-ray path",
-                  file=sys.stderr)
     src = SyntheticSource(num_cameras=cams, num_frames=16, hw=(720, 1280),
                           num_objects=1)
     # calibration comes from the source, like the reference reads it from
@@ -333,7 +366,8 @@ def main() -> int:
 
     result = {
         "metric": (f"e2e_fps_{cams}cam_{voxel_mm:g}mm_yolo11{variant}"
-                   "_tpu_v5e"),
+                   + ("" if preset == "gpu" else f"_{preset}preset")
+                   + "_tpu_v5e"),
         "value": round(res.mean_fps, 2),
         "unit": "fps",
         "vs_baseline": round(res.mean_fps / BASELINE_FPS, 3),

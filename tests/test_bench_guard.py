@@ -21,6 +21,52 @@ def test_wait_for_device_succeeds_on_healthy_backend():
     assert bench._wait_for_device(120) is True
 
 
+def test_build_bench_config_defaults_match_reference():
+    # the end-of-round driver run uses an empty env: it must resolve to
+    # the reference's published-numbers config exactly
+    from rt3d.config import reference_2cam_config
+
+    cfg, info = bench.build_bench_config(env={})
+    assert cfg == reference_2cam_config()
+    assert info == {"preset": "gpu", "variant": "x",
+                    "tracker": "bytetrack", "cams": 2, "voxel_mm": 5.0}
+
+
+def test_build_bench_config_cpu_preset_keeps_its_voxel():
+    # BASELINE.json configs[0]: 1 cm voxel + erode + workspace SOR +
+    # yolo11n; the VOXEL_MM default must come from the preset, not
+    # clobber it back to 5 mm
+    cfg, info = bench.build_bench_config(env={"RT3D_BENCH_PRESET": "cpu"})
+    assert cfg.pipeline.voxel_size == 0.01
+    assert cfg.pipeline.erode_kernel == 12 and cfg.pipeline.workspace_sor
+    assert info["variant"] == "n" and info["voxel_mm"] == 10.0
+
+
+def test_build_bench_config_1cam_preset_single_camera():
+    cfg, info = bench.build_bench_config(env={"RT3D_BENCH_PRESET": "1cam"})
+    assert info["cams"] == 1 and info["variant"] == "l"
+
+
+def test_build_bench_config_stretch_grows_capacities():
+    cfg, info = bench.build_bench_config(env={
+        "RT3D_BENCH_CAMS": "4", "RT3D_BENCH_VOXEL_MM": "1",
+        "RT3D_BENCH_ACCUM": "1",
+    })
+    assert cfg.pipeline.voxel_size == 0.001
+    assert cfg.pipeline.max_points_workspace == 262144
+    assert cfg.pipeline.max_points_workspace_fused == 262144 * 4
+    assert cfg.pipeline.workspace_accumulate
+    assert cfg.pipeline.accum_skip_prededupe
+    assert cfg.pipeline.accum_capacity == 262144 * 4
+
+
+def test_build_bench_config_bf16_knobs():
+    cfg, _ = bench.build_bench_config(env={
+        "RT3D_BENCH_MASK_BF16": "1", "RT3D_BENCH_PREPROC_BF16": "1"})
+    assert cfg.model.mask_resize_dtype == "bfloat16"
+    assert cfg.model.preprocess_dtype == "bfloat16"
+
+
 def test_wait_for_device_deadline_is_bounded(monkeypatch):
     # a probe that always hangs must not overrun the budget by more than
     # one probe floor (10 s)

@@ -82,6 +82,10 @@ if [ "${RT3D_CHECKLIST_EXTRAS:-}" = "1" ]; then
     run_step 09 bench_mask_bf16 5400 python bench.py
   RT3D_BENCH_MASK_BF16=1 RT3D_BENCH_PREPROC_BF16=1 RT3D_BENCH_FAST=1 \
     run_step 10 bench_resize_bf16 5400 python bench.py
+  # 9. BASELINE configs[0] parity row: the 2cams_mask_cpu.py variant
+  #    (1 cm voxel, erode 12x12, workspace SOR, yolo11n)
+  RT3D_BENCH_PRESET=cpu RT3D_BENCH_FAST=1 \
+    run_step 11 bench_cpu_preset 5400 python bench.py
 fi
 
 echo "=== checklist done; summary:" | tee -a "$SUMMARY"
