@@ -31,6 +31,13 @@ def main() -> int:
     p.add_argument("--scales", default=None,
                    help="act-scales JSON to use instead of the default "
                         "sidecar (e.g. a --pct calibration)")
+    p.add_argument("--mask-bf16", action="store_true",
+                   help="evaluate with the bf16 retina-mask upsample "
+                        "(ModelConfig.mask_resize_dtype) — the accuracy "
+                        "gate for flipping the bench default")
+    p.add_argument("--preproc-bf16", action="store_true",
+                   help="evaluate with the bf16 letterbox preprocess "
+                        "(ModelConfig.preprocess_dtype)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -52,6 +59,8 @@ def main() -> int:
         cfg,
         model=dataclasses.replace(
             cfg.model, variant=variant, input_hw=input_hw, conf_thresh=0.25,
+            mask_resize_dtype="bfloat16" if args.mask_bf16 else "float32",
+            preprocess_dtype="bfloat16" if args.preproc_bf16 else "float32",
         ),
     )
     # evaluate_weights' own default scene geometry (seed 777, 1 object for
@@ -68,6 +77,8 @@ def main() -> int:
         "weights": os.path.basename(args.weights),
         "frames": args.frames,
         "grouped_excluded": bool(os.environ.get("RT3D_QUANT_NO_GROUPED")),
+        "mask_bf16": args.mask_bf16,
+        "preproc_bf16": args.preproc_bf16,
     }
     if not args.skip_fp:
         record["fp"] = evaluate_weights(
