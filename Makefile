@@ -1,6 +1,6 @@
 # rt3d build + test entry points
 
-.PHONY: native test test-fast bench demo e2e train-weights clean
+.PHONY: native test test-fast bench demo e2e train-weights verify-cpu clean
 
 native:
 	g++ -O2 -shared -fPIC -o native/librt3d_replayer.so native/replayer.cpp -lpthread
@@ -23,6 +23,15 @@ bench:
 
 demo:
 	PYTHONPATH=.:$$PYTHONPATH python tools/demo_geometry.py
+
+# everything verifiable without the TPU tunnel: the full suite plus the
+# flagship demo (trained weights, fp then int8) driven end-to-end on the
+# CPU backend. Slow (~40 min on the 1-core box) but it is the complete
+# pre-chip validation — the chip session then only measures
+# (tools/chip_checklist.sh).
+verify-cpu: test
+	$(TEST_ENV) python tools/demo_pipeline.py
+	$(TEST_ENV) RT3D_DEMO_QUANT=1 python tools/demo_pipeline.py
 
 # retrain the in-repo weight artifacts on the TPU (zero-egress analog of
 # downloading the reference's published checkpoints; see README)
