@@ -39,7 +39,8 @@ train-weights:
 	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py \
 	  --steps 6000 --scenes 40 --out weights/yolo11n_synth_seg.npz
 	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py --variant x \
-	  --steps 3000 --scenes 40 --lr 5e-4 --out weights/yolo11x_synth_seg.npz
+	  --steps 6000 --scenes 40 --lr 1e-4 --warmup 1000 \
+	  --out weights/yolo11x_synth_seg.npz
 
 # the L4 loop end to end on the device backend: record a synthetic HD720
 # sequence -> replay it through the C++ mmap replayer into the full

@@ -188,7 +188,8 @@ def main() -> int:
     manifest = {
         "variant": args.variant, "input_hw": list(input_hw),
         "train_hw": list(hw), "steps": args.steps, "batch": args.batch,
-        "lr": args.lr, "scenes": args.scenes, "seed": args.seed,
+        "lr": args.lr, "warmup": warmup, "scenes": args.scenes,
+        "seed": args.seed,
         "final_metrics": last, "eval": stats, "dtype": "float16",
         "classes": [39, 41],
         "data": "rt3d.train.data.build_synth_dataset (analytic scene)",
