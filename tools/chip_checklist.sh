@@ -14,7 +14,9 @@ set -u
 LOG=${1:-runs_chip_$(date -u +%Y%m%dT%H%M)}
 mkdir -p "$LOG"
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/rt3d_jax_cache_tpu}
-export PYTHONPATH=.
+# APPEND to PYTHONPATH: the shell presets /root/.axon_site, which registers
+# the TPU plugin — replacing it kills the axon backend (learned twice now)
+export PYTHONPATH=.${PYTHONPATH:+:$PYTHONPATH}
 SUMMARY="$LOG/summary.txt"
 touch "$SUMMARY"
 
@@ -86,6 +88,13 @@ if [ "${RT3D_CHECKLIST_EXTRAS:-}" = "1" ]; then
   #    (1 cm voxel, erode 12x12, workspace SOR, yolo11n)
   RT3D_BENCH_PRESET=cpu RT3D_BENCH_FAST=1 \
     run_step 11 bench_cpu_preset 5400 python bench.py
+  # 10. BASELINE configs[1]: the 1cam/rt-tracking.py preset
+  RT3D_BENCH_PRESET=1cam RT3D_BENCH_FAST=1 \
+    run_step 12 bench_1cam_preset 5400 python bench.py
+  # 11. BASELINE configs[3]: appearance-embedding tracking (BoT-SORT ReID
+  #     + affine GMC) — re-measure post sort-operand sweep + greedy rounds
+  RT3D_BENCH_TRACKER=botsort RT3D_BENCH_FAST=1 \
+    run_step 13 bench_botsort 5400 python bench.py
 fi
 
 echo "=== checklist done; summary:" | tee -a "$SUMMARY"
