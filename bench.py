@@ -149,6 +149,13 @@ def build_bench_config(env=None):
                 cfg.tracker, tracker_type="botsort", with_reid=True,
                 gmc=True),
         )
+    # RT3D_BENCH_TRACKER=deepsort: appearance-primary association with
+    # Mahalanobis gating (BASELINE configs[3], rt3d/tracking/deepsort.py)
+    elif tracker == "deepsort":
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(
+                cfg.tracker, tracker_type="deepsort", with_reid=True),
+        )
     # RT3D_BENCH_MASK_BF16=1 / RT3D_BENCH_PREPROC_BF16=1: run the retina-
     # mask upsample / letterbox resize in bf16 (the two non-conv resize
     # HBM consumers; accuracy bands gated in tests/test_yolo_model.py).

@@ -58,6 +58,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                         "accumulator and let its merge do the (single, "
                         "global) voxel dedupe — skips the per-camera dedupe "
                         "sorts; voxel weights count ray support")
+    p.add_argument("--tracker", default=None,
+                   choices=["bytetrack", "botsort", "deepsort"],
+                   help="ID association: bytetrack (reference default), "
+                        "botsort (ReID-fused IoU + GMC), deepsort "
+                        "(appearance-primary under a Mahalanobis gate)")
     p.add_argument("--quantize", action="store_true",
                    help="run the conv stack int8 (W8A8, per-channel "
                         "weights): calibrates activation ranges on the "
@@ -74,6 +79,16 @@ def load_config(args, num_cameras: Optional[int] = None) -> Config:
     if args.weights:
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model, weights=args.weights)
+        )
+    if getattr(args, "tracker", None):
+        t = args.tracker
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(
+                cfg.tracker, tracker_type=t,
+                # botsort's yaml enables ReID+GMC; deepsort implies ReID
+                with_reid=t in ("botsort", "deepsort") or cfg.tracker.with_reid,
+                gmc=(t == "botsort") or cfg.tracker.gmc,
+            )
         )
     if getattr(args, "accumulate", False):
         cfg = dataclasses.replace(

@@ -158,6 +158,12 @@ class TrackerConfig:
     # equivalent of botsort.yaml's sparseOptFlow+RANSAC); 'translation' =
     # single full-frame phase correlation
     gmc_method: str = "affine"
+    # DeepSORT (tracker_type="deepsort", rt3d/tracking/deepsort.py —
+    # BASELINE configs[3]): appearance-primary association with chi-square
+    # Mahalanobis gating. with_reid is implied (enforced by the pipeline).
+    max_cosine_distance: float = 0.2   # DeepSORT release default
+    motion_lambda: float = 0.0         # paper's λ motion-blend (release: 0)
+    gate_only_position: bool = False   # gate on (x,y) only (2-dof chi2)
 
 
 # ---------------------------------------------------------------------------

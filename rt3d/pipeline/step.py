@@ -139,12 +139,22 @@ class Pipeline:
     @property
     def _use_reid(self) -> bool:
         t = self.cfg.tracker
-        return t.tracker_type == "botsort" and t.with_reid
+        # DeepSORT is appearance-primary by definition; with_reid is implied
+        return (t.tracker_type == "botsort" and t.with_reid) \
+            or t.tracker_type == "deepsort"
 
     @property
     def _use_gmc(self) -> bool:
         t = self.cfg.tracker
-        return t.tracker_type == "botsort" and t.gmc
+        return t.tracker_type in ("botsort", "deepsort") and t.gmc
+
+    @property
+    def _tracker_step(self):
+        if self.cfg.tracker.tracker_type == "deepsort":
+            from rt3d.tracking.deepsort import deepsort_step
+
+            return deepsort_step
+        return bytetrack_step
 
     def _gray_hw(self):
         h, w = self.model.input_hw
@@ -274,26 +284,27 @@ class Pipeline:
         else:
             shifts = None
 
+        step_fn = self._tracker_step
         if self._use_reid and det_emb is not None:
             def one(ts, d, e, sh):
-                return bytetrack_step(ts, d, tcfg, frame_rate=fps,
-                                      det_emb=e, gmc_warp=sh)
+                return step_fn(ts, d, tcfg, frame_rate=fps,
+                               det_emb=e, gmc_warp=sh)
 
             if shifts is not None:
                 new_tracker, ids = jax.vmap(one)(state.tracker, det, det_emb, shifts)
             else:
                 new_tracker, ids = jax.vmap(
-                    lambda ts, d, e: bytetrack_step(
+                    lambda ts, d, e: step_fn(
                         ts, d, tcfg, frame_rate=fps, det_emb=e)
                 )(state.tracker, det, det_emb)
         elif shifts is not None:
             new_tracker, ids = jax.vmap(
-                lambda ts, d, sh: bytetrack_step(
+                lambda ts, d, sh: step_fn(
                     ts, d, tcfg, frame_rate=fps, gmc_warp=sh)
             )(state.tracker, det, shifts)
         else:
             new_tracker, ids = jax.vmap(
-                lambda ts, d: bytetrack_step(ts, d, tcfg, frame_rate=fps)
+                lambda ts, d: step_fn(ts, d, tcfg, frame_rate=fps)
             )(state.tracker, det)
         return PipelineState(tracker=new_tracker, prev_gray=prev_gray,
                              accum=state.accum), ids
@@ -578,6 +589,11 @@ class Pipeline:
 
 def build_pipeline(cfg: Optional[Config] = None) -> Pipeline:
     cfg = cfg or Config()
+    if cfg.tracker.tracker_type not in ("bytetrack", "botsort", "deepsort"):
+        raise ValueError(
+            f"unknown tracker_type {cfg.tracker.tracker_type!r}; "
+            "expected 'bytetrack', 'botsort', or 'deepsort'"
+        )
     if cfg.pipeline.workspace_accumulate:
         from rt3d.geometry.ops import packed2_fits
 

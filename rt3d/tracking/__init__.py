@@ -9,12 +9,14 @@ state is explicit and checkpointable instead of hidden module state.
 """
 
 from rt3d.tracking.kalman import (  # noqa: F401
+    gating_distance,
     kalman_initiate,
     kalman_predict,
     kalman_update,
     xyah_to_xyxy,
     xyxy_to_xyah,
 )
+from rt3d.tracking.deepsort import deepsort_step  # noqa: F401
 from rt3d.tracking.assignment import hungarian, solve_matching  # noqa: F401
 from rt3d.tracking.bytetrack import (  # noqa: F401
     TrackerState,

@@ -133,6 +133,78 @@ def _apply_matches(
     )
 
 
+def _predict_tracks(
+    ts: TrackerState, gmc_warp: jax.Array | None
+) -> TrackerState:
+    """Kalman-predict every live slot (lost tracks get vh zeroed,
+    STrack.predict), then optionally warp by the camera-motion estimate."""
+    live = ts.state > EMPTY
+    mean_in = ts.mean.at[:, 7].set(
+        jnp.where(ts.state == TRACKED, ts.mean[:, 7], 0.0)
+    )
+    pmean, pcov = kalman_predict(mean_in, ts.cov)
+    if gmc_warp is not None:
+        from rt3d.tracking.botsort import apply_gmc_to_tracks
+
+        pmean, pcov = apply_gmc_to_tracks(pmean, gmc_warp, pcov)
+    return ts.replace(
+        mean=jnp.where(live[:, None], pmean, ts.mean),
+        cov=jnp.where(live[:, None, None], pcov, ts.cov),
+    )
+
+
+def _spawn_new_tracks(
+    ts: TrackerState,
+    is_new: jax.Array,       # (D,) bool: detections that start a track
+    det_xyah: jax.Array,
+    det_scores: jax.Array,
+    det_cls: jax.Array,
+    frame_id: jax.Array,
+) -> Tuple[TrackerState, jax.Array, jax.Array, jax.Array]:
+    """Place each flagged detection in an empty slot (k-th new det ->
+    k-th empty slot, stable order both sides). Returns
+    (state, placeable (D,), scatter_slot (D,), ids_for_new (D,)). Shared
+    by ByteTrack and DeepSORT — the life cycle is identical."""
+    s = ts.mean.shape[0]
+    empty_slots = ts.state == EMPTY
+    slot_order = jnp.argsort(jnp.where(empty_slots, 0, 1), stable=True)
+    det_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_empty = jnp.sum(empty_slots.astype(jnp.int32))
+    placeable = is_new & (det_rank < n_empty)
+    target_slot = slot_order[jnp.clip(det_rank, 0, s - 1)]
+
+    new_mean, new_cov = kalman_initiate(det_xyah)
+    scatter_slot = jnp.where(placeable, target_slot, s)
+    ids_for_new = ts.next_id + det_rank.astype(jnp.int32)
+
+    ts = ts.replace(
+        mean=ts.mean.at[scatter_slot].set(new_mean, mode="drop"),
+        cov=ts.cov.at[scatter_slot].set(new_cov, mode="drop"),
+        score=ts.score.at[scatter_slot].set(det_scores, mode="drop"),
+        cls=ts.cls.at[scatter_slot].set(det_cls, mode="drop"),
+        track_id=ts.track_id.at[scatter_slot].set(ids_for_new, mode="drop"),
+        state=ts.state.at[scatter_slot].set(TRACKED, mode="drop"),
+        activated=ts.activated.at[scatter_slot].set(frame_id == 1, mode="drop"),
+        last_update=ts.last_update.at[scatter_slot].set(frame_id, mode="drop"),
+        next_id=ts.next_id + jnp.sum(placeable.astype(jnp.int32)),
+    )
+    return ts, placeable, scatter_slot, ids_for_new
+
+
+def _expire_lost(
+    ts: TrackerState, frame_id: jax.Array, cfg: TrackerConfig, frame_rate: int
+) -> TrackerState:
+    """Free lost slots older than the buffer (max_time_lost =
+    frame_rate/30 * track_buffer)."""
+    max_lost = jnp.int32(int(frame_rate / 30.0 * cfg.track_buffer))
+    expired = (ts.state == LOST) & (frame_id - ts.last_update > max_lost)
+    return ts.replace(
+        state=jnp.where(expired, EMPTY, ts.state),
+        track_id=jnp.where(expired, -1, ts.track_id),
+        activated=ts.activated & ~expired,
+    )
+
+
 def bytetrack_step(
     ts: TrackerState,
     det: Detections,
@@ -164,19 +236,7 @@ def bytetrack_step(
     det_xyah = xyxy_to_xyah(det.boxes)
 
     # --- predict all live slots (lost tracks get vh zeroed, STrack.predict)
-    live = ts.state > EMPTY
-    mean_in = ts.mean.at[:, 7].set(
-        jnp.where(ts.state == TRACKED, ts.mean[:, 7], 0.0)
-    )
-    pmean, pcov = kalman_predict(mean_in, ts.cov)
-    if gmc_warp is not None:
-        from rt3d.tracking.botsort import apply_gmc_to_tracks
-
-        pmean, pcov = apply_gmc_to_tracks(pmean, gmc_warp, pcov)
-    ts = ts.replace(
-        mean=jnp.where(live[:, None], pmean, ts.mean),
-        cov=jnp.where(live[:, None, None], pcov, ts.cov),
-    )
+    ts = _predict_tracks(ts, gmc_warp)
 
     was_tracked = ts.state == TRACKED
     pool = (was_tracked & ts.activated) | (ts.state == LOST)
@@ -229,30 +289,10 @@ def bytetrack_step(
     # --- new tracks from leftover high dets
     det_taken = det_taken | (r3_row_of_col >= 0)
     is_new = rem_high & (r3_row_of_col < 0) & (det.scores > cfg.new_track_thresh)
-    empty_slots = ts.state == EMPTY
-    # k-th new det -> k-th empty slot (stable order both sides)
-    slot_order = jnp.argsort(jnp.where(empty_slots, 0, 1), stable=True)
-    det_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    n_empty = jnp.sum(empty_slots.astype(jnp.int32))
-    placeable = is_new & (det_rank < n_empty)
-    target_slot = slot_order[jnp.clip(det_rank, 0, s - 1)]
-
-    new_mean, new_cov = kalman_initiate(det_xyah)
-    scatter_slot = jnp.where(placeable, target_slot, s)
-    cols = jnp.arange(d, dtype=jnp.int32)
-    ids_for_new = ts.next_id + det_rank.astype(jnp.int32)
-
-    ts = ts.replace(
-        mean=ts.mean.at[scatter_slot].set(new_mean, mode="drop"),
-        cov=ts.cov.at[scatter_slot].set(new_cov, mode="drop"),
-        score=ts.score.at[scatter_slot].set(det.scores, mode="drop"),
-        cls=ts.cls.at[scatter_slot].set(det.classes, mode="drop"),
-        track_id=ts.track_id.at[scatter_slot].set(ids_for_new, mode="drop"),
-        state=ts.state.at[scatter_slot].set(TRACKED, mode="drop"),
-        activated=ts.activated.at[scatter_slot].set(frame_id == 1, mode="drop"),
-        last_update=ts.last_update.at[scatter_slot].set(frame_id, mode="drop"),
-        next_id=ts.next_id + jnp.sum(placeable.astype(jnp.int32)),
+    ts, placeable, scatter_slot, ids_for_new = _spawn_new_tracks(
+        ts, is_new, det_xyah, det.scores, det.classes, frame_id
     )
+    cols = jnp.arange(d, dtype=jnp.int32)
 
     # --- appearance feature maintenance (BoT-SORT EMA, botsort.py)
     if use_reid:
@@ -270,13 +310,7 @@ def bytetrack_step(
         ))
 
     # --- lost aging (max_time_lost = frame_rate/30 * track_buffer)
-    max_lost = jnp.int32(int(frame_rate / 30.0 * cfg.track_buffer))
-    expired = (ts.state == LOST) & (frame_id - ts.last_update > max_lost)
-    ts = ts.replace(
-        state=jnp.where(expired, EMPTY, ts.state),
-        track_id=jnp.where(expired, -1, ts.track_id),
-        activated=ts.activated & ~expired,
-    )
+    ts = _expire_lost(ts, frame_id, cfg, frame_rate)
 
     # --- per-detection ids (activated slots only, like ultralytics output)
     def ids_from(row_of_col):

@@ -79,6 +79,32 @@ def _project(mean: jax.Array, cov: jax.Array):
     return proj_mean, proj_cov
 
 
+def gating_distance(
+    mean: jax.Array,          # (S, 8) predicted track means
+    cov: jax.Array,           # (S, 8, 8) predicted track covariances
+    measurements: jax.Array,  # (D, 4) xyah detections
+    only_position: bool = False,
+) -> jax.Array:
+    """Squared Mahalanobis distance of every measurement to every track's
+    PREDICTED measurement distribution — DeepSORT's
+    `KalmanFilter.gating_distance`. Returns (S, D) f32.
+
+    `only_position` restricts the metric to (x, y) — 2 degrees of freedom —
+    matching DeepSORT's default gating; the full 4-dof form also penalizes
+    aspect/height disagreement."""
+    proj_mean, s = _project(mean, cov)  # (S, 4), (S, 4, 4)
+    if only_position:
+        proj_mean, s = proj_mean[..., :2], s[..., :2, :2]
+        measurements = measurements[..., :2]
+    d = measurements[None, :, :] - proj_mean[:, None, :]  # (S, D, k)
+    chol = jnp.linalg.cholesky(s)  # (S, k, k)
+    # z solves L z = d  per (track, det); dist = |z|^2
+    z = jax.vmap(
+        lambda l, ds: jax.scipy.linalg.solve_triangular(l, ds.T, lower=True)
+    )(chol, d)  # (S, k, D)
+    return jnp.sum(z * z, axis=-2)
+
+
 def kalman_update(
     mean: jax.Array, cov: jax.Array, measurement: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:

@@ -60,6 +60,18 @@ def test_build_bench_config_stretch_grows_capacities():
     assert cfg.pipeline.accum_capacity == 262144 * 4
 
 
+def test_build_bench_config_tracker_knob():
+    cfg, info = bench.build_bench_config(
+        env={"RT3D_BENCH_TRACKER": "botsort"})
+    assert cfg.tracker.tracker_type == "botsort"
+    assert cfg.tracker.with_reid and cfg.tracker.gmc
+    cfg, info = bench.build_bench_config(
+        env={"RT3D_BENCH_TRACKER": "deepsort"})
+    assert cfg.tracker.tracker_type == "deepsort"
+    assert cfg.tracker.with_reid and not cfg.tracker.gmc
+    assert info["tracker"] == "deepsort"
+
+
 def test_build_bench_config_bf16_knobs():
     cfg, _ = bench.build_bench_config(env={
         "RT3D_BENCH_MASK_BF16": "1", "RT3D_BENCH_PREPROC_BF16": "1"})

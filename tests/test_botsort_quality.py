@@ -43,14 +43,31 @@ def _object_embeddings(num_objects: int, emb_dim: int, seed: int):
     return e / np.linalg.norm(e, axis=-1, keepdims=True)
 
 
-def _run_tracker(gts, with_reid: bool, seed: int, emb_noise: float = 0.15):
-    cfg = TrackerConfig(max_tracks=32, with_reid=with_reid,
-                        tracker_type="botsort" if with_reid else "bytetrack")
-    step = jax.jit(
-        lambda ts, det, emb: bytetrack_step(
-            ts, det, cfg, frame_rate=30,
-            det_emb=emb if with_reid else None)
-    )
+def _run_tracker(gts, with_reid: bool, seed: int, emb_noise: float = 0.15,
+                 tracker: str | None = None):
+    tracker = tracker or ("botsort" if with_reid else "bytetrack")
+    if tracker == "deepsort":
+        # appearance-primary association (rt3d/tracking/deepsort.py).
+        # max_cosine_distance is opened up from DeepSORT's 0.2 release
+        # default (tuned for its trained ReID net) to admit this noise
+        # model: emb_noise 0.15/dim over 64 dims puts same-object cosine
+        # distance around 0.35, cross-object around 1.0.
+        from rt3d.tracking.deepsort import deepsort_step
+
+        cfg = TrackerConfig(max_tracks=32, tracker_type="deepsort",
+                            with_reid=True, max_cosine_distance=0.6)
+        step = jax.jit(
+            lambda ts, det, emb: deepsort_step(
+                ts, det, cfg, frame_rate=30, det_emb=emb)
+        )
+    else:
+        cfg = TrackerConfig(max_tracks=32, with_reid=with_reid,
+                            tracker_type=tracker)
+        step = jax.jit(
+            lambda ts, det, emb: bytetrack_step(
+                ts, det, cfg, frame_rate=30,
+                det_emb=emb if with_reid else None)
+        )
     ts = bytetrack_init(cfg.max_tracks, emb_dim=cfg.emb_dim)
     rng = np.random.default_rng(seed + 99)
     frames, n, _ = gts.shape
@@ -83,21 +100,26 @@ def test_reid_reduces_id_switches_on_crossings(noise):
           1    |        0        |      0
           6    |       ~266      |    ~144  (-46%)
     """
-    totals = {"plain": 0, "reid": 0}
+    totals = {"plain": 0, "reid": 0, "deepsort": 0}
     for seed in (3, 4, 5):
         gts = _crossing_scene(num_objects=10, frames=40, noise=noise,
                               seed=seed)
         totals["plain"] += _id_switches(_run_tracker(gts, False, seed))
         totals["reid"] += _id_switches(_run_tracker(gts, True, seed))
+        totals["deepsort"] += _id_switches(
+            _run_tracker(gts, True, seed, tracker="deepsort"))
     print(f"noise={noise}: IDSW plain={totals['plain']} "
-          f"reid={totals['reid']}")
+          f"reid={totals['reid']} deepsort={totals['deepsort']}")
     if noise <= 1.0:
         assert totals["plain"] == totals["reid"] == 0
+        assert totals["deepsort"] == 0
     else:
         # the envelope below is calibrated from the measured table above;
         # the strict claim is the direction and a real (>=25%) reduction
         assert totals["reid"] <= totals["plain"] * 0.75, totals
         assert totals["reid"] > 0  # crossings at 6 px are not free
+        # appearance-PRIMARY association must beat motion-only too
+        assert totals["deepsort"] <= totals["plain"] * 0.75, totals
 
 
 def test_reid_rescues_identical_motion_swap():
@@ -117,10 +139,12 @@ def test_reid_rescues_identical_motion_swap():
         gt[t, :, 1] = cy - 30
         gt[t, :, 2] = cx + 30
         gt[t, :, 3] = cy + 30
-    swaps_plain = swaps_reid = 0
+    swaps_plain = swaps_reid = swaps_deep = 0
     for seed in range(6):
         ids_p = _run_tracker(gt, False, seed, emb_noise=0.1)
         ids_r = _run_tracker(gt, True, seed, emb_noise=0.1)
+        ids_d = _run_tracker(gt, True, seed, emb_noise=0.1,
+                             tracker="deepsort")
         # a swap = both objects end the sequence wearing the other's
         # starting id (ids swapped relative to frame 0)
         def swapped(ids):
@@ -128,7 +152,10 @@ def test_reid_rescues_identical_motion_swap():
                         and ids[0, 0] != ids[0, 1])
         swaps_plain += swapped(ids_p)
         swaps_reid += swapped(ids_r)
-    print(f"head-on swaps: plain={swaps_plain}/6 reid={swaps_reid}/6")
+        swaps_deep += swapped(ids_d)
+    print(f"head-on swaps: plain={swaps_plain}/6 reid={swaps_reid}/6 "
+          f"deepsort={swaps_deep}/6")
     # appearance must resolve every head-on meeting; motion-only is
     # allowed any behavior (it's genuinely ambiguous)
     assert swaps_reid == 0, swaps_reid
+    assert swaps_deep == 0, swaps_deep

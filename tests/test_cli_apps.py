@@ -33,7 +33,7 @@ def test_two_cam_cli_quantize_accum_raw(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", [
         "two_cam", "--source", "synthetic", "--frames", "6",
         "--config", str(cfg_path), "--quantize",
-        "--accumulate", "--accum-raw",
+        "--accumulate", "--accum-raw", "--tracker", "deepsort",
         "--warmup", "1", "--log-dir", str(log_dir),
     ])
     assert two_cam.main() == 0
