@@ -156,19 +156,30 @@ def build_bench_config(env=None):
             cfg, tracker=dataclasses.replace(
                 cfg.tracker, tracker_type="deepsort", with_reid=True),
         )
-    # RT3D_BENCH_MASK_BF16=1 / RT3D_BENCH_PREPROC_BF16=1: run the retina-
-    # mask upsample / letterbox resize in bf16 (the two non-conv resize
-    # HBM consumers; accuracy bands gated in tests/test_yolo_model.py).
-    # A/B knobs until chip-measured.
-    if env.get("RT3D_BENCH_MASK_BF16"):
+    # RT3D_BENCH_MASK_BF16 / RT3D_BENCH_PREPROC_BF16: two-way A/B override
+    # of the resize dtypes (bf16 is the ModelConfig DEFAULT since the
+    # chip accuracy gate passed — see config.py; "0"/"false" forces f32,
+    # any other value forces bf16, unset keeps the preset default).
+    def _dtype_knob(name):
+        v = env.get(name)
+        if v is None:
+            # the int8 accuracy record is for int8 ALONE (stacked bf16
+            # resizes cost a near-threshold detection on n, NOTES.md):
+            # RT3D_BENCH_QUANT=1 pins f32 unless explicitly overridden
+            return "float32" if env.get("RT3D_BENCH_QUANT") else None
+        return "float32" if v.lower() in ("0", "false") else "bfloat16"
+
+    if _dtype_knob("RT3D_BENCH_MASK_BF16"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
-                cfg.model, mask_resize_dtype="bfloat16"),
+                cfg.model,
+                mask_resize_dtype=_dtype_knob("RT3D_BENCH_MASK_BF16")),
         )
-    if env.get("RT3D_BENCH_PREPROC_BF16"):
+    if _dtype_knob("RT3D_BENCH_PREPROC_BF16"):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
-                cfg.model, preprocess_dtype="bfloat16"),
+                cfg.model,
+                preprocess_dtype=_dtype_knob("RT3D_BENCH_PREPROC_BF16")),
         )
     # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
     # chip — the camera axis also shards over a mesh (tests/test_multihost)

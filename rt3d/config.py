@@ -192,21 +192,26 @@ class ModelConfig:
     class_filter: Tuple[int, ...] = (39, 41)  # Bottle + Cup, `2cams_mask_gpu.py:274`
     weights: Optional[str] = None   # path to converted params (.npz) or .pt
     compute_dtype: str = "bfloat16"
-    # dtype of the letterbox resize (HD720 u8 -> model-input RGB). The
-    # bf16 option halves the full-res f32 intermediate (11 MB/camera)
-    # and feeds the bf16 conv stem castless; input values are 8-bit
-    # quantized anyway, so only resize interpolation precision changes
-    # (~0.2%, gated like mask_resize_dtype). f32 default until the
-    # on-chip A/B records the win.
-    preprocess_dtype: str = "float32"
+    # dtype of the letterbox resize (HD720 u8 -> model-input RGB). bf16
+    # halves the full-res f32 intermediate (11 MB/camera) and feeds the
+    # bf16 conv stem castless; input values are 8-bit quantized anyway,
+    # so only resize interpolation precision changes (within 2/255 even
+    # on noise, tests/test_yolo_model.py). Chip-gated on the trained x
+    # artifact 2026-08-19: with BOTH bf16 resizes, recall 1.0 and mean
+    # mask IoU within noise of fp (0.9152 vs 0.9175 fp-f32 on the same
+    # chip/frames) for a ~27% headline FPS win — hence the bf16 default.
+    # Set "float32" to run the resizes in full precision (the int8
+    # quantized path pins f32: stacking bf16 on int8 cost one
+    # near-threshold detection on the n variant, NOTES.md).
+    preprocess_dtype: str = "bfloat16"
     # dtype of the retina-mask bilinear upsample (the largest non-conv
     # HBM consumer: proto-res -> full-res over max_detections slots).
     # "bfloat16" halves its traffic and runs the resize contractions at
     # the MXU's native rate; probabilities only lose resolution inside a
     # ~0.004-wide band around the 0.5 threshold (a <=1 px boundary
-    # jitter, gated by tests/test_yolo_model.py). f32 default until the
-    # on-chip A/B records the win.
-    mask_resize_dtype: str = "float32"
+    # jitter, gated by tests/test_yolo_model.py). Accuracy-gated on chip
+    # with preprocess_dtype above — same record, same bf16 default.
+    mask_resize_dtype: str = "bfloat16"
 
 
 # ---------------------------------------------------------------------------

@@ -166,7 +166,11 @@ def quantize_params(
         quantized.append(path)
     if not quantized:
         raise ValueError("no conv layer was quantized (bad act_scales?)")
-    return out
+    # Commit the dict to device: the quantize math above runs in numpy, and
+    # host-numpy leaves passed to a jitted step are re-uploaded on EVERY
+    # dispatch (measured on the dev relay: 222 ms/step of DevicePut — the
+    # whole int8 weight set per frame chunk, chip checklist [05]/[08]).
+    return jax.device_put(out)
 
 
 def is_quantized(params: Params) -> bool:

@@ -73,6 +73,15 @@ def test_build_bench_config_tracker_knob():
 
 
 def test_build_bench_config_bf16_knobs():
+    # bf16 resizes are the preset DEFAULT (chip accuracy gate, config.py)
+    cfg, _ = bench.build_bench_config(env={})
+    assert cfg.model.mask_resize_dtype == "bfloat16"
+    assert cfg.model.preprocess_dtype == "bfloat16"
+    # the knobs are two-way A/B overrides: "0" forces f32, "1" forces bf16
+    cfg, _ = bench.build_bench_config(env={
+        "RT3D_BENCH_MASK_BF16": "0", "RT3D_BENCH_PREPROC_BF16": "0"})
+    assert cfg.model.mask_resize_dtype == "float32"
+    assert cfg.model.preprocess_dtype == "float32"
     cfg, _ = bench.build_bench_config(env={
         "RT3D_BENCH_MASK_BF16": "1", "RT3D_BENCH_PREPROC_BF16": "1"})
     assert cfg.model.mask_resize_dtype == "bfloat16"

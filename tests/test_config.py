@@ -29,5 +29,7 @@ def test_json_roundtrip_exact(tmp_path):
 def test_from_dict_defaults_missing_fields():
     # old config files (fewer fields) must load with today's defaults
     cfg = Config.from_dict({})
-    assert cfg.model.mask_resize_dtype == "float32"
-    assert cfg.model.preprocess_dtype == "float32"
+    # bf16 resizes are the default since the chip accuracy gate passed
+    # (config.py ModelConfig docstring; NOTES.md round-3 chip session)
+    assert cfg.model.mask_resize_dtype == "bfloat16"
+    assert cfg.model.preprocess_dtype == "bfloat16"

@@ -45,6 +45,12 @@ def quantized_setup():
             variant=manifest["variant"],
             input_hw=tuple(manifest["input_hw"]),
             conf_thresh=0.25,
+            # the int8 accuracy record is for int8 ALONE: stacking the
+            # bf16 resizes (now the config default) on int8 costs one
+            # near-threshold detection on the n variant (NOTES.md), so
+            # the quantized path pins f32 resizes
+            mask_resize_dtype="float32",
+            preprocess_dtype="float32",
         ),
     )
     src = SyntheticSource(num_cameras=2, num_frames=None, hw=(720, 1280),
