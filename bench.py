@@ -261,11 +261,11 @@ def main() -> int:
                 "error": f"tpu_unreachable_after_{wait_s:.0f}s_wait",
                 # context for readers of the failure artifact: the last
                 # number this config measured on a healthy tunnel
-                # (NOTES.md round-3 table, 2026-08-17)
+                # (NOTES.md round-3 chip session, 2026-08-19)
                 "last_chip_measured": {
-                    "value": 121.7, "unit": "fps", "vs_baseline": 4.64,
-                    "date": "2026-08-17",
-                    "config": "2cam HD720 yolo11x trained, scan=4",
+                    "value": 128.34, "unit": "fps", "vs_baseline": 4.889,
+                    "date": "2026-08-19",
+                    "config": "2cam HD720 yolo11x trained, scan=4, bf16 resizes",
                 },
             }))
             return 1
