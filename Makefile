@@ -41,6 +41,9 @@ train-weights:
 	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py --variant x \
 	  --steps 6000 --scenes 40 --lr 1e-4 --warmup 1000 \
 	  --out weights/yolo11x_synth_seg.npz
+	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py --variant l \
+	  --steps 6000 --scenes 40 --lr 1e-4 --warmup 1000 \
+	  --out weights/yolo11l_synth_seg.npz
 
 # the L4 loop end to end on the device backend: record a synthetic HD720
 # sequence -> replay it through the C++ mmap replayer into the full
