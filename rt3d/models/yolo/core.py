@@ -171,7 +171,7 @@ def conv2d(
     # (gradient) rule stays dtype-consistent — mixed bf16 operands with an
     # f32 preferred type breaks `grad` (cotangent/operand dtype mismatch in
     # the transposed conv). The TPU MXU accumulates bf16 products in f32
-    # internally regardless; bias+activation below run in f32.
+    # internally regardless.
     y = jax.lax.conv_general_dilated(
         x.astype(_COMPUTE_DTYPE),
         kernel.astype(_COMPUTE_DTYPE),
@@ -183,7 +183,15 @@ def conv2d(
         precision=jax.lax.Precision.HIGHEST,  # no-op for bf16 operands;
         # keeps f32 runs (tests, debugging) actually f32 on every backend
     )
-    y = y.astype(jnp.float32) + bias.astype(jnp.float32)
+    # The bias+SiLU epilogue runs in the compute dtype. The conv output is
+    # already _COMPUTE_DTYPE; routing the epilogue through f32 (as earlier
+    # revisions did) forces an upcast + full-resolution f32 elementwise
+    # passes + downcast. The round-3 chip trace attributed 0.82 ms of
+    # standalone `multiply` + 0.72 ms of `copy` in a 6.4 ms step to this
+    # epilogue (NOTES.md). The output was rounded to _COMPUTE_DTYPE anyway,
+    # so this costs at most one extra bf16 rounding per conv; f32 runs
+    # (tests, training) are bit-identical to the old epilogue.
+    y = y + bias.astype(y.dtype)
     if act and not raw:
         y = silu(y)
     return y.astype(_COMPUTE_DTYPE)
