@@ -263,9 +263,9 @@ def main() -> int:
                 # number this config measured on a healthy tunnel
                 # (NOTES.md round-3 chip session, 2026-08-19)
                 "last_chip_measured": {
-                    "value": 128.34, "unit": "fps", "vs_baseline": 4.889,
+                    "value": 134.33, "unit": "fps", "vs_baseline": 5.117,
                     "date": "2026-08-19",
-                    "config": "2cam HD720 yolo11x trained, scan=4, bf16 resizes",
+                    "config": "2cam HD720 yolo11x trained, scan=4, bf16 resizes+epilogue",
                 },
             }))
             return 1
