@@ -87,6 +87,34 @@ def np_prod(xs) -> int:
     return out
 
 
+def cast_params_for_inference(params: Params) -> Params:
+    """Pre-cast conv kernels to the compute dtype, once, at load time.
+
+    ``conv2d`` casts every kernel to ``_COMPUTE_DTYPE`` inside the step
+    (core.py:177), so with f32-stored weights XLA re-converts the whole
+    weight set (~125 MB for yolo11x) on EVERY step — the round-3 chip
+    trace attributed the largest non-conv fusion (0.45 ms of a 6.6 ms
+    step) largely to these per-step converts. Casting here is
+    bit-identical (the step consumed the bf16-rounded kernel either way)
+    and also halves the kernels' HBM residency.
+
+    Only ``*/kernel`` f32 leaves are touched: biases stay f32 because the
+    int8 path's epilogue consumes them in f32 (conv2d quantized branch),
+    and they are ~0.3% of the bytes; quantized leaves (``kernel_q8``,
+    scales) are already in their final dtypes. No-op when the compute
+    dtype is float32 (tests, training).
+    """
+    cd = _COMPUTE_DTYPE
+    if cd == jnp.float32:
+        return params
+    return {
+        k: (jnp.asarray(v).astype(cd)
+            if k.endswith("/kernel") and jnp.asarray(v).dtype == jnp.float32
+            else v)
+        for k, v in params.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # Primitives (NHWC, HWIO kernels)
 # ---------------------------------------------------------------------------

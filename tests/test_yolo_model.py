@@ -323,3 +323,31 @@ def test_converter_roundtrip_covers_model():
 
     params = yconvert.convert_state_dict(sd)
     yconvert.verify_against_model(params, TINY)  # raises on any mismatch
+
+
+def test_cast_params_for_inference_bit_identical():
+    """Pre-casting f32 kernels to the compute dtype at load time must be
+    bit-identical to the per-step cast conv2d performs anyway
+    (core.py cast_params_for_inference), across the full forward."""
+    params = TINY.init(jax.random.PRNGKey(3))
+    cast = ycore.cast_params_for_inference(params)
+    # kernels moved to the compute dtype; biases stayed f32
+    assert cast["0/conv/kernel"].dtype == ycore.compute_dtype()
+    assert cast["0/conv/bias"].dtype == jnp.float32
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 96, 160, 3), jnp.float32)
+    fwd = jax.jit(TINY.forward)
+    a = fwd(params, x)
+    b = fwd(cast, x)
+    for got, want in zip(jax.tree_util.tree_leaves(b),
+                         jax.tree_util.tree_leaves(a)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_cast_params_noop_at_f32():
+    params = TINY.init(jax.random.PRNGKey(3))
+    ycore.set_compute_dtype(jnp.float32)
+    try:
+        cast = ycore.cast_params_for_inference(params)
+    finally:
+        ycore.set_compute_dtype(jnp.bfloat16)
+    assert cast is params

@@ -165,6 +165,68 @@ def main():
                 if ms < 0.02:
                     break
                 print(f"  {ms:8.3f} ms  {name}  {meta.get(name, '')}")
+    # RT3D_TRACE_HLO=1: cross-reference the top trace ops against the
+    # compiled HLO's per-instruction metadata. The profiler's "source" arg
+    # is often missing for multi-op fusions (shown as "?" above); the HLO
+    # text records op_name/source_file for the fusion root AND every fused
+    # instruction, so this recovers where an anonymous `fusion.179` came
+    # from.
+    if os.environ.get("RT3D_TRACE_HLO"):
+        import re
+
+        hlo = (jax.jit(pipe.step)
+               .lower(params, pipe.init_state(), rgb, depth, calib)
+               .compile().as_text())
+        # instruction name -> (metadata op_name/source, calls=computation)
+        inst_re = re.compile(
+            r"%?([\w.\-]+)\s*=\s*\S+\s+(\w[\w\-]*)\(.*?"
+            r"(?:calls=%?([\w.\-]+))?[^\n]*?"
+            r"(?:metadata=\{([^}]*)\})?\s*$")
+        comp_insts = defaultdict(list)  # computation -> [metadata strs]
+        inst_info = {}
+        cur_comp = None
+        for line in hlo.splitlines():
+            m = re.match(r"\s*%?([\w.\-]+)\s+\([^)]*\)\s*->", line)
+            if line and not line.startswith(" ") and "{" in line:
+                mc = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)", line.strip())
+                cur_comp = mc.group(1) if mc else cur_comp
+                continue
+            mm = re.search(r"%?([\w.\-]+)\s*=.*?metadata=\{([^}]*)\}", line)
+            calls = re.search(r"calls=%?([\w.\-]+)", line)
+            if mm:
+                nm2, md = mm.group(1), mm.group(2)
+                inst_info[nm2] = (md, calls.group(1) if calls else None)
+                if cur_comp:
+                    comp_insts[cur_comp].append(md)
+            elif calls:
+                nm2 = re.match(r"\s*%?([\w.\-]+)\s*=", line)
+                if nm2:
+                    inst_info[nm2.group(1)] = ("", calls.group(1))
+
+        def _srcs(md_list):
+            out = defaultdict(int)
+            for md in md_list:
+                sf = re.search(r'source_file="([^"]*)"', md)
+                sl = re.search(r"source_line=(\d+)", md)
+                op = re.search(r'op_name="([^"]*)"', md)
+                key = (f"{sf.group(1).split('/')[-1]}:{sl.group(1)}"
+                       if sf and sl else (op.group(1)[-60:] if op else "?"))
+                out[key] += 1
+            return sorted(out.items(), key=lambda kv: -kv[1])[:6]
+
+        print("HLO cross-reference of top ops:")
+        for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:16]:
+            ms = dur / 1000 / n
+            if ms < 0.05:
+                break
+            info = inst_info.get(name)
+            if info is None:
+                print(f"  {ms:8.3f} ms  {name}  (not in HLO text)")
+                continue
+            md, callee = info
+            srcs = _srcs(comp_insts.get(callee, [md] if md else []))
+            print(f"  {ms:8.3f} ms  {name}  "
+                  + "; ".join(f"{k} x{c}" for k, c in srcs))
     shutil.rmtree(d, ignore_errors=True)
     return 0
 
