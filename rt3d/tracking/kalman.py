@@ -68,6 +68,57 @@ def kalman_predict(mean: jax.Array, cov: jax.Array) -> Tuple[jax.Array, jax.Arra
     return new_mean, new_cov
 
 
+def _chol_unrolled(s: jax.Array):
+    """Batched Cholesky of a tiny (..., k, k) SPD matrix, unrolled at trace
+    time (k is static, 2 or 4 here).
+
+    Why not `jnp.linalg.cholesky`: on TPU it lowers to a Cholesky
+    custom-call (plus TriangularSolve custom-calls for the solves), which
+    the round-3 chip trace measured at ~0.16 ms/step for the tracker's
+    vmapped 4x4 solves — dispatch-bound, unfusible. Unrolled
+    Cholesky-Crout is ~k^3/3 elementwise ops over the slot batch: XLA
+    fuses the whole thing into the surrounding tracker math. Returns the
+    lower factor as a k x k list-of-lists of (...,)-shaped entries so the
+    substitutions below stay in unrolled-scalar land (no gathers)."""
+    k = s.shape[-1]
+    l = [[None] * k for _ in range(k)]
+    for i in range(k):
+        for j in range(i + 1):
+            acc = s[..., i, j]
+            for m in range(j):
+                acc = acc - l[i][m] * l[j][m]
+            if i == j:
+                l[i][j] = jnp.sqrt(acc)
+            else:
+                l[i][j] = acc / l[j][j]
+    return l
+
+
+def _forward_sub(l, b):
+    """Solve L z = b with L from `_chol_unrolled`; b is a length-k list of
+    broadcast-compatible arrays. Returns the same-shape list z."""
+    k = len(l)
+    z = [None] * k
+    for i in range(k):
+        acc = b[i]
+        for m in range(i):
+            acc = acc - l[i][m] * z[m]
+        z[i] = acc / l[i][i]
+    return z
+
+
+def _backward_sub_t(l, y):
+    """Solve L^T x = y (same list convention)."""
+    k = len(l)
+    x = [None] * k
+    for i in reversed(range(k)):
+        acc = y[i]
+        for m in range(i + 1, k):
+            acc = acc - l[m][i] * x[m]
+        x[i] = acc / l[i][i]
+    return x
+
+
 def _project(mean: jax.Array, cov: jax.Array):
     h = mean[..., 3]
     std = jnp.stack(
@@ -97,12 +148,12 @@ def gating_distance(
         proj_mean, s = proj_mean[..., :2], s[..., :2, :2]
         measurements = measurements[..., :2]
     d = measurements[None, :, :] - proj_mean[:, None, :]  # (S, D, k)
-    chol = jnp.linalg.cholesky(s)  # (S, k, k)
-    # z solves L z = d  per (track, det); dist = |z|^2
-    z = jax.vmap(
-        lambda l, ds: jax.scipy.linalg.solve_triangular(l, ds.T, lower=True)
-    )(chol, d)  # (S, k, D)
-    return jnp.sum(z * z, axis=-2)
+    # z solves L z = d per (track, det); dist = |z|^2. Unrolled batched
+    # Cholesky + forward substitution (no custom-calls — see _chol_unrolled)
+    l = _chol_unrolled(s)  # entries (S,)
+    lb = [[e[:, None] if e is not None else None for e in row] for row in l]
+    z = _forward_sub(lb, [d[..., i] for i in range(d.shape[-1])])  # (S, D)
+    return sum(zi * zi for zi in z)
 
 
 def kalman_update(
@@ -110,11 +161,16 @@ def kalman_update(
 ) -> Tuple[jax.Array, jax.Array]:
     """Measurement update with an xyah observation. Batched over leading dims."""
     proj_mean, s = _project(mean, cov)
-    # K = P H^T S^-1 via Cholesky solve (S is 4x4 SPD)
+    # K = P H^T S^-1 via Cholesky solve (S is 4x4 SPD). Unrolled batched
+    # Cholesky + forward/backward substitution instead of
+    # cholesky/cho_solve custom-calls (see _chol_unrolled).
     pht = cov[..., :, :4]  # P H^T since H = [I 0]
-    chol = jnp.linalg.cholesky(s)
-    kt = jax.scipy.linalg.cho_solve((chol, True), jnp.swapaxes(pht, -1, -2))
-    k = jnp.swapaxes(kt, -1, -2)  # (..., 8, 4)
+    l = _chol_unrolled(s)  # entries (...,)
+    lb = [[e[..., None] if e is not None else None for e in row] for row in l]
+    # solve S K^T = (P H^T)^T: rows of the rhs are pht's columns, (..., 8)
+    y = _forward_sub(lb, [pht[..., i] for i in range(4)])
+    x = _backward_sub_t(lb, y)
+    k = jnp.stack(x, axis=-1)  # (..., 8, 4)
     innov = measurement - proj_mean
     new_mean = mean + jnp.einsum("...ij,...j->...i", k, innov)
     new_cov = cov - jnp.einsum("...ij,...jk,...lk->...il", k, s, k)
