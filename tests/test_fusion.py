@@ -105,3 +105,27 @@ def test_flatten_objects(rng):
     pts = np.asarray(buf.points)[np.asarray(buf.valid)]
     assert len(pts) == 80
     assert int(overflow) == 0
+
+
+def test_rounds_match_equals_scan_spec_fuzz(rng):
+    """The prefix-accepting proposal-rounds matcher must be BIT-identical
+    to the sequential slot-order scan spec (greedy_centroid_match_scan) —
+    including argmin tie-breaks, the 1-vs-1 unconditional path, absent
+    slots, and contested columns that force multiple rounds."""
+    from rt3d.geometry.fusion import greedy_centroid_match_scan
+
+    for trial in range(60):
+        n1 = int(rng.integers(0, 7))
+        n2 = int(rng.integers(0, 7))
+        # few classes + quantized coords force collisions and exact ties
+        objs1 = [(_cluster(rng, rng.integers(0, 3, 3) * 0.1, n=4, s=0.0), int(rng.integers(39, 42)))
+                 for _ in range(n1)]
+        objs2 = [(_cluster(rng, rng.integers(0, 3, 3) * 0.1, n=4, s=0.0), int(rng.integers(39, 42)))
+                 for _ in range(n2)]
+        s1 = _make_set(objs1, num_slots=8)
+        s2 = _make_set(objs2, num_slots=8)
+        thr = float(rng.choice([0.05, 0.15, 0.5]))
+        m_r, m2_r = greedy_centroid_match(s1, s2, thr)
+        m_s, m2_s = greedy_centroid_match_scan(s1, s2, thr)
+        np.testing.assert_array_equal(np.asarray(m_r), np.asarray(m_s))
+        np.testing.assert_array_equal(np.asarray(m2_r), np.asarray(m2_s))
