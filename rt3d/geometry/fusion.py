@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from rt3d.geometry.ops import PointBuffer, masked_centroid
-from rt3d.geometry.sor import sor_inlier_mask
+from rt3d.geometry.sor import sor_inlier_mask_slots
 
 _INF = jnp.float32(3.4e38)
 
@@ -236,21 +236,15 @@ def fuse_centroid(
     if apply_sor:
         # SOR per fused slot; fused pairs and standalone cam1 clouds get it,
         # pass-through cam2 leftovers stay raw (reference `:162-163`) —
-        # so the sequential map only visits the s1 cam1-side slots (the
-        # cam2 half of a 40-slot map was pure scan overhead, profiler:
-        # ~0.1 ms of nothing). Each visited slot still cond-skips when
-        # absent, and the Pallas kNN kernel skips all-padding tiles.
-        def one_slot(args):
-            pts, vld, want = args
-
-            def do(_):
-                return sor_inlier_mask(pts, vld, sor_nb_neighbors, sor_std_ratio)
-
-            return jax.lax.cond(want, do, lambda _: vld, None)
-
-        valid1 = jax.lax.map(
-            one_slot, (points[:s1], valid[:s1], set1.present)
+        # so only the s1 cam1-side slots are visited. All slots run in ONE
+        # slot-batched pass (one Pallas launch; absent slots' teleported
+        # padding hits the kernel's all-far tile skip) — the earlier
+        # sequential per-slot `lax.map` cost ~0.35 ms/step of while-loop
+        # dispatch on the x chip trace.
+        sor_mask = sor_inlier_mask_slots(
+            points[:s1], valid[:s1], sor_nb_neighbors, sor_std_ratio
         )
+        valid1 = jnp.where(set1.present[:, None], sor_mask, valid[:s1])
         valid = jnp.concatenate([valid1, valid[s1:]], axis=0)
 
     return ObjectSet(

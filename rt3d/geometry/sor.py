@@ -116,15 +116,60 @@ def sor_inlier_mask(
             mean_d, saturated = _knn_mean_xla(points, valid, k)
     else:
         mean_d, saturated = _knn_mean_xla(points, valid, k)
-    mean_d = jnp.where(saturated, _BIG, mean_d)
+    return _inlier_from_stats(valid, mean_d, saturated, std_ratio)
 
+
+def _inlier_from_stats(valid, mean_d, saturated, std_ratio):
+    """valid & (mean_d <= mu + std_ratio*sigma), stats over the LAST axis —
+    shared by the single-cloud and slot-batched paths (identical math)."""
+    mean_d = jnp.where(saturated, _BIG, mean_d)
     vf = valid & ~saturated
-    nv = jnp.maximum(jnp.sum(vf.astype(jnp.float32)), 1.0)
-    mu = jnp.sum(jnp.where(vf, mean_d, 0.0)) / nv
-    var = jnp.sum(jnp.where(vf, (mean_d - mu) ** 2, 0.0)) / jnp.maximum(nv - 1.0, 1.0)
-    sigma = jnp.sqrt(var)
+    nv = jnp.maximum(jnp.sum(vf.astype(jnp.float32), axis=-1), 1.0)
+    mu = jnp.sum(jnp.where(vf, mean_d, 0.0), axis=-1) / nv
+    var = jnp.sum(jnp.where(vf, (mean_d - mu[..., None]) ** 2, 0.0), axis=-1)
+    sigma = jnp.sqrt(var / jnp.maximum(nv - 1.0, 1.0))
     thresh = mu + std_ratio * sigma
-    return valid & (mean_d <= thresh)
+    return valid & (mean_d <= thresh[..., None])
+
+
+def sor_inlier_mask_slots(
+    points: jax.Array,   # (S, K, 3)
+    valid: jax.Array,    # (S, K) bool
+    nb_neighbors: int = 20,
+    std_ratio: float = 1.5,
+    use_pallas: bool = True,
+) -> jax.Array:
+    """`sor_inlier_mask` batched over object slots: every slot's kNN means
+    and inlier statistics in ONE pass (one Pallas launch on TPU) instead of
+    a sequential per-slot ``lax.map`` — the fusion stage's per-slot SOR was
+    ~0.35 ms/step of while-loop dispatch on the x chip trace. Bit-identical
+    math to per-slot `sor_inlier_mask` (tested slot-vs-loop in
+    tests/test_fusion.py); slots whose cloud exceeds `_EXACT_MAX_N` fall
+    back to the per-slot dispatcher (which windows them)."""
+    s, cap, _ = points.shape
+    k = min(nb_neighbors, cap)
+    if cap > _EXACT_MAX_N:
+        return jax.lax.map(
+            lambda args: sor_inlier_mask(
+                args[0], args[1], nb_neighbors, std_ratio, use_pallas),
+            (points, valid),
+        )
+    mean_d = saturated = None
+    if use_pallas and cap >= 256:
+        from rt3d.geometry.pallas_ops import (
+            pallas_available, sor_knn_mean_pallas_slots,
+        )
+
+        if pallas_available():
+            try:
+                mean_d, saturated = sor_knn_mean_pallas_slots(
+                    points, valid, k=k)
+            except ValueError:  # untileable capacity
+                mean_d = None
+    if mean_d is None:
+        mean_d, saturated = jax.vmap(
+            lambda p, v: _knn_mean_xla(p, v, k))(points, valid)
+    return _inlier_from_stats(valid, mean_d, saturated, std_ratio)
 
 
 def sor_filter(

@@ -129,3 +129,22 @@ def test_rounds_match_equals_scan_spec_fuzz(rng):
         m_s, m2_s = greedy_centroid_match_scan(s1, s2, thr)
         np.testing.assert_array_equal(np.asarray(m_r), np.asarray(m_s))
         np.testing.assert_array_equal(np.asarray(m2_r), np.asarray(m2_s))
+
+
+def test_sor_slots_equals_per_slot_loop(rng):
+    """sor_inlier_mask_slots must match per-slot sor_inlier_mask exactly
+    (shared stats helper; same kNN math) including absent/padding slots."""
+    from rt3d.geometry.sor import sor_inlier_mask, sor_inlier_mask_slots
+
+    S, K = 5, 64
+    pts = rng.normal(0, 0.2, (S, K, 3)).astype(np.float32)
+    val = rng.uniform(size=(S, K)) < 0.7
+    val[2] = False          # fully absent slot
+    val[3, 8:] = False      # tiny cloud
+    got = np.asarray(sor_inlier_mask_slots(
+        jnp.asarray(pts), jnp.asarray(val), nb_neighbors=10, std_ratio=1.5))
+    for s in range(S):
+        want = np.asarray(sor_inlier_mask(
+            jnp.asarray(pts[s]), jnp.asarray(val[s]),
+            nb_neighbors=10, std_ratio=1.5))
+        np.testing.assert_array_equal(got[s], want)
