@@ -25,8 +25,11 @@ it, see SURVEY.md §2.1):
 
 Everything is a jitted fixed-shape program: the greedy match runs as
 prefix-accepting proposal rounds (bit-identical to the sequential
-slot-order spec, see `greedy_centroid_match`); SOR runs as a sequential
-`lax.map` with a `lax.cond` so empty slots cost nothing.
+slot-order spec, see `greedy_centroid_match`); SOR over the fused slots
+runs as ONE slot-batched Pallas kNN launch (`sor_inlier_mask_slots` —
+clouds fold to (S*K, 3), each query tile reads its owning slot's rows,
+absent slots sit at the far sentinel and hit the kernel's all-far tile
+skip), so empty slots cost nothing.
 """
 
 from __future__ import annotations

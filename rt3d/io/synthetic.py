@@ -6,20 +6,108 @@ Serves two roles the reference fills with live hardware:
   * golden-test input, since ground-truth instance masks and object
     geometry are known analytically (`gt_masks`).
 
-The scene: two cameras look down at a z=0 table plane; `num_objects`
-box-shaped objects glide across it with per-object phase. Depth is exact;
-RGB is a flat-shaded rendering (enough to exercise the full image path).
+Two scene families (the `domain` knob):
+
+* ``"easy"`` — the original family: two cameras look straight down at a
+  z=0 table; `num_objects` flat-shaded boxes glide across it.  Kept
+  bit-exact (same rendering code path) because the geometry golden tests
+  and the round-3 weight artifacts were built on it.
+
+* ``"hard"`` — the domain-randomized family that approximates the
+  reference's real operating conditions (`/root/reference/README.md:39-52`:
+  real bottles/cups on a real table, clutter, occlusion).  Per-scene
+  (seed-driven) randomization of:
+    - camera pose: oblique tilt (not top-down), so objects OCCLUDE each
+      other when their paths cross in view;
+    - class-correlated SHAPE semantics: Bottle(39) = tall cylinder,
+      Cup(41) = short wide cylinder — color is random per object, so
+      shape/scale is the discriminative cue (the easy family's
+      color-coded boxes let a detector shortcut on hue);
+    - per-object scale/aspect jitter within the class ranges;
+    - distractor objects of NON-target classes (book 73 = flat box,
+      mouse 64 = small rounded box) that the model must learn to label
+      correctly and the pipeline's `class_filter` must drop;
+    - world-space table texture (value-noise lattice + colored decal
+      patches, consistent across cameras) and directional Lambertian
+      lighting with a per-scene light direction and gain;
+    - per-frame Gaussian RGB sensor noise.
+  Rendering is a vectorized ray-caster with a z-buffer; `gt_masks`
+  returns VISIBLE (occlusion-aware) instance masks, which is also what
+  a segmentation model is supervised on.  Depth stays analytic-exact in
+  both domains (ZED depth-noise modelling is out of scope; the depth
+  consumers are tested against exact geometry).
 """
 
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from rt3d.config import CameraConfig, Extrinsics, Intrinsics
 from rt3d.io.source import FramePacket
+
+# non-target classes rendered as clutter in the hard domain; neither is in
+# any preset `class_filter` (2cam 39/41; cpu 39/41/42/43/45; 1cam
+# 39/41/42/43/44/45/46 — config.py), so the pipeline must drop them.
+DISTRACTOR_CLASSES = (73, 64)  # book, mouse
+
+
+@dataclass
+class _SceneObject:
+    """One rigid body: a vertical box or cylinder standing on the table."""
+
+    kind: str                # 'box' | 'cyl'
+    cls: int                 # COCO class id
+    size: Tuple[float, float, float]  # box: (sx, sy, sz); cyl: (r, r, h)
+    color: np.ndarray        # (3,) uint8 base color (BGR, as captured)
+    x0: float                # orbit centre
+    y0: float
+    rx: float                # orbit radii (0 => static)
+    ry: float
+    phase: float
+    speed: float
+    is_target: bool
+
+    def center(self, t: float) -> np.ndarray:
+        ph = self.phase + self.speed * t
+        return np.array(
+            [self.x0 + self.rx * math.cos(ph),
+             self.y0 + self.ry * math.sin(ph),
+             self.size[2] / 2], np.float32)
+
+
+def _look_at_extrinsics(pos: np.ndarray, target: np.ndarray) -> Extrinsics:
+    """Camera->robot rotation whose +z looks at `target`, +y is image-down.
+
+    Columns of R are the camera axes in the robot frame; at zero tilt this
+    reproduces the easy domain's ((1,0,0),(0,-1,0),(0,0,-1))."""
+    f = target - pos
+    f = f / np.linalg.norm(f)
+    x = np.cross(f, np.array([0.0, 0.0, 1.0]))
+    if np.linalg.norm(x) < 1e-6:  # straight down: keep the easy convention
+        x = np.array([1.0, 0.0, 0.0])
+    x = x / np.linalg.norm(x)
+    y = np.cross(f, x)
+    r = np.stack([x, y, f], axis=1)
+    return Extrinsics(rotation=tuple(map(tuple, r.astype(float))),
+                      translation=tuple(map(float, pos)))
+
+
+def _bilinear_lattice(values: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Sample a (G, G) random lattice at fractional coords u, v (tiled)."""
+    g = values.shape[0]
+    u = np.mod(u, g)
+    v = np.mod(v, g)
+    u0 = np.floor(u).astype(np.int64) % g
+    v0 = np.floor(v).astype(np.int64) % g
+    fu, fv = u - np.floor(u), v - np.floor(v)
+    u1, v1 = (u0 + 1) % g, (v0 + 1) % g
+    a = values[v0, u0] * (1 - fu) + values[v0, u1] * fu
+    b = values[v1, u0] * (1 - fu) + values[v1, u1] * fu
+    return a * (1 - fv) + b * fv
 
 
 class SyntheticSource:
@@ -32,6 +120,10 @@ class SyntheticSource:
         cam_height_m: float = 1.0,
         object_size_m: Tuple[float, float, float] = (0.06, 0.08, 0.12),
         seed: int = 0,
+        domain: str = "easy",
+        num_distractors: Optional[int] = None,
+        rgb_noise: Optional[float] = None,
+        tilt_deg: Optional[float] = None,
     ):
         self._n_cams = num_cameras
         self._n_frames = num_frames
@@ -39,25 +131,127 @@ class SyntheticSource:
         self.num_objects = num_objects
         self.cam_height = cam_height_m
         self.obj_size = object_size_m
+        self.domain = domain
+        self.seed = seed
         h, w = hw
         f = 0.55 * w  # ~ZED HD720 focal in pixels at this width
         self._intr = Intrinsics(fx=f, fy=f, cx=w / 2, cy=h / 2, width=w, height=h)
         rng = np.random.default_rng(seed)
         self._phases = rng.uniform(0, 2 * math.pi, num_objects)
         self._speeds = rng.uniform(0.5, 1.0, num_objects)
-        # camera i sits above the table, slightly offset, looking straight
-        # down (rotation maps cam axes -> robot axes: x->x, y->-y, z->-z)
-        self._cams: List[CameraConfig] = []
+        self._memo: Tuple[int, tuple] | None = None
+
+        if domain == "easy":
+            self.rgb_noise = float(rgb_noise or 0.0)
+            self.object_classes = np.array(
+                [(39, 41)[k % 2] for k in range(num_objects)], np.int64)
+            self.distractor_classes = np.zeros((0,), np.int64)
+            # camera i sits above the table, slightly offset, looking
+            # straight down (cam axes -> robot: x->x, y->-y, z->-z)
+            self._cams = []
+            for i in range(num_cameras):
+                off = (i - (num_cameras - 1) / 2) * 0.08
+                ext = Extrinsics(
+                    rotation=((1.0, 0.0, 0.0), (0.0, -1.0, 0.0),
+                              (0.0, 0.0, -1.0)),
+                    translation=(0.25 + off, 0.6, cam_height_m),
+                )
+                self._cams.append(
+                    CameraConfig(name=f"cam{i+1}", intrinsics=self._intr,
+                                 extrinsics=ext, serial=1000 + i))
+            return
+        if domain != "hard":
+            raise ValueError(f"unknown domain {domain!r}")
+
+        # ---- hard domain: per-scene randomization -----------------------
+        self.rgb_noise = (float(rgb_noise) if rgb_noise is not None
+                          else float(rng.uniform(0.01, 0.03)))
+        look = np.array([0.25, 0.6, 0.0])
+        tilt = (float(tilt_deg) if tilt_deg is not None
+                else float(rng.uniform(22.0, 40.0)))
+        height = cam_height_m * float(rng.uniform(0.85, 1.15))
+        self._cams = []
         for i in range(num_cameras):
-            off = (i - (num_cameras - 1) / 2) * 0.08
-            ext = Extrinsics(
-                rotation=((1.0, 0.0, 0.0), (0.0, -1.0, 0.0), (0.0, 0.0, -1.0)),
-                translation=(0.25 + off, 0.6, cam_height_m),
-            )
+            off = (i - (num_cameras - 1) / 2) * float(rng.uniform(0.10, 0.22))
+            cam_tilt = math.radians(tilt + float(rng.uniform(-3.0, 3.0)))
+            dist = height / math.cos(cam_tilt)
+            pos = look + np.array(
+                [off, -dist * math.sin(cam_tilt), height])
             self._cams.append(
                 CameraConfig(name=f"cam{i+1}", intrinsics=self._intr,
-                             extrinsics=ext, serial=1000 + i)
-            )
+                             extrinsics=_look_at_extrinsics(pos, look),
+                             serial=1000 + i))
+
+        # targets: Bottle(39)=tall cylinder, Cup(41)=short wide cylinder
+        cls_order = np.array([(39, 41)[k % 2] for k in range(num_objects)])
+        rng.shuffle(cls_order)
+        self.object_classes = cls_order.astype(np.int64)
+        self._objects: List[_SceneObject] = []
+        for k in range(num_objects):
+            cls = int(cls_order[k])
+            if cls == 39:
+                r = float(rng.uniform(0.028, 0.042))
+                hgt = float(rng.uniform(0.17, 0.28))
+            else:
+                r = float(rng.uniform(0.038, 0.058))
+                hgt = float(rng.uniform(0.07, 0.12))
+            self._objects.append(_SceneObject(
+                kind="cyl", cls=cls, size=(r, r, hgt),
+                color=rng.integers(45, 225, 3).astype(np.uint8),
+                x0=0.25 + float(rng.uniform(-0.05, 0.05)),
+                y0=0.6 + float(rng.uniform(-0.08, 0.08)),
+                rx=float(rng.uniform(0.05, 0.16)),
+                ry=float(rng.uniform(0.05, 0.17)),
+                phase=float(self._phases[k]), speed=float(self._speeds[k]),
+                is_target=True))
+        nd = (int(num_distractors) if num_distractors is not None
+              else int(rng.integers(1, 4)))
+        self.distractor_classes = np.array(
+            [DISTRACTOR_CLASSES[j % 2] for j in range(nd)], np.int64)
+        for j in range(nd):
+            cls = int(self.distractor_classes[j])
+            if cls == 73:   # book: flat wide box
+                size = (float(rng.uniform(0.12, 0.22)),
+                        float(rng.uniform(0.09, 0.16)),
+                        float(rng.uniform(0.015, 0.04)))
+            else:           # mouse: small low box
+                size = (float(rng.uniform(0.05, 0.08)),
+                        float(rng.uniform(0.03, 0.05)),
+                        float(rng.uniform(0.025, 0.04)))
+            moving = bool(rng.uniform() < 0.4)
+            self._objects.append(_SceneObject(
+                kind="box", cls=cls, size=size,
+                color=rng.integers(45, 225, 3).astype(np.uint8),
+                x0=0.25 + float(rng.uniform(-0.16, 0.16)),
+                y0=0.6 + float(rng.uniform(-0.18, 0.18)),
+                rx=float(rng.uniform(0.04, 0.10)) if moving else 0.0,
+                ry=float(rng.uniform(0.04, 0.10)) if moving else 0.0,
+                phase=float(rng.uniform(0, 2 * math.pi)),
+                speed=float(rng.uniform(0.3, 0.8)) if moving else 0.0,
+                is_target=False))
+
+        # lighting + table appearance (world-space => camera-consistent)
+        az = float(rng.uniform(0, 2 * math.pi))
+        el = math.radians(float(rng.uniform(35.0, 70.0)))
+        self._light = np.array(
+            [math.cos(az) * math.cos(el), math.sin(az) * math.cos(el),
+             math.sin(el)], np.float32)
+        self._ambient = float(rng.uniform(0.35, 0.55))
+        self._gain = float(rng.uniform(0.75, 1.15))
+        self._tex_coarse = rng.uniform(-1.0, 1.0, (8, 8)).astype(np.float32)
+        self._tex_fine = rng.uniform(-1.0, 1.0, (32, 32)).astype(np.float32)
+        self._tex_tint = rng.uniform(-1.0, 1.0, (8, 8, 3)).astype(np.float32)
+        self._tex_amp = float(rng.uniform(10.0, 35.0))
+        decals = []
+        for _ in range(int(rng.integers(2, 6))):
+            cx = 0.25 + float(rng.uniform(-0.35, 0.35))
+            cy = 0.6 + float(rng.uniform(-0.35, 0.35))
+            decals.append((
+                cx, cy, float(rng.uniform(0.04, 0.18)),
+                float(rng.uniform(0.04, 0.18)),
+                rng.integers(30, 226, 3).astype(np.float32)))
+        self._decals = decals
+        self._ray_cache: dict = {}
 
     # -- FrameSource ------------------------------------------------------
 
@@ -81,18 +275,27 @@ class SyntheticSource:
 
     # -- scene model ------------------------------------------------------
 
+    @property
+    def all_classes(self) -> np.ndarray:
+        """(N_targets + N_distractors,) classes, targets first."""
+        return np.concatenate([self.object_classes, self.distractor_classes])
+
     def object_centers(self, index: int) -> np.ndarray:
-        """(N, 3) object centres in the robot frame at a given frame."""
+        """(N, 3) TARGET object centres in the robot frame at a frame."""
         t = index / 30.0
-        out = np.zeros((self.num_objects, 3), np.float32)
-        for k in range(self.num_objects):
-            ph = self._phases[k] + self._speeds[k] * t
-            out[k] = [
-                0.25 + 0.15 * math.cos(ph),
-                0.6 + 0.2 * math.sin(ph) + 0.25 * k / max(self.num_objects, 1),
-                self.obj_size[2] / 2,
-            ]
-        return out
+        if self.domain == "easy":
+            out = np.zeros((self.num_objects, 3), np.float32)
+            for k in range(self.num_objects):
+                ph = self._phases[k] + self._speeds[k] * t
+                out[k] = [
+                    0.25 + 0.15 * math.cos(ph),
+                    0.6 + 0.2 * math.sin(ph) + 0.25 * k / max(self.num_objects, 1),
+                    self.obj_size[2] / 2,
+                ]
+            return out
+        return np.stack([o.center(t) for o in self._objects if o.is_target])
+
+    # ---- easy renderer (unchanged from rounds 1-3, bit-exact) -----------
 
     def _render_camera(self, cam: CameraConfig, centers: np.ndarray):
         h, w = self._hw
@@ -132,23 +335,180 @@ class SyntheticSource:
         depth = np.where(np.isfinite(depth), depth, np.nan).astype(np.float32)
         return rgb, depth, masks
 
+    # ---- hard renderer: ray-cast with a z-buffer ------------------------
+
+    def _rays(self, ci: int):
+        """Cached (d_rob (H,W,3), origin (3,)) for camera `ci`."""
+        if ci not in self._ray_cache:
+            h, w = self._hw
+            cam = self._cams[ci]
+            intr = cam.intrinsics
+            us = (np.arange(w, dtype=np.float32) - intr.cx) / intr.fx
+            vs = (np.arange(h, dtype=np.float32) - intr.cy) / intr.fy
+            du, dv = np.meshgrid(us, vs)
+            d_cam = np.stack([du, dv, np.ones_like(du)], axis=-1)
+            self._ray_cache[ci] = (
+                (d_cam @ np.asarray(cam.extrinsics.R).T).astype(np.float32),
+                np.asarray(cam.extrinsics.t, np.float32))
+        return self._ray_cache[ci]
+
+    @staticmethod
+    def _intersect_box(o, d, c, size):
+        """AABB x [c +- (sx,sy)/2] x z in [0, sz]: entry dist + normal."""
+        sx, sy, sz = size
+        lo = np.array([c[0] - sx / 2, c[1] - sy / 2, 0.0], np.float32)
+        hi = np.array([c[0] + sx / 2, c[1] + sy / 2, sz], np.float32)
+        safe = np.where(np.abs(d) < 1e-9, 1e-9, d)
+        t1 = (lo - o) / safe
+        t2 = (hi - o) / safe
+        tlo, thi = np.minimum(t1, t2), np.maximum(t1, t2)
+        axis = np.argmax(tlo, axis=-1)
+        tmin = np.max(tlo, axis=-1)
+        tmax = np.min(thi, axis=-1)
+        hit = (tmax >= tmin) & (tmin > 0.05)
+        s = np.where(hit, tmin, np.inf).astype(np.float32)
+        # entry-face normal: -sign(d) on the entry axis
+        n = np.zeros(d.shape, np.float32)
+        sgn = -np.sign(np.take_along_axis(d, axis[..., None], -1))[..., 0]
+        np.put_along_axis(n, axis[..., None], sgn[..., None], -1)
+        return s, n
+
+    @staticmethod
+    def _intersect_cyl(o, d, c, size):
+        """Vertical cylinder: centre (cx, cy), radius r, z in [0, h]."""
+        r, _, hgt = size
+        ox, oy, oz = o[0] - c[0], o[1] - c[1], o[2]
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        a = dx * dx + dy * dy
+        b = 2.0 * (ox * dx + oy * dy)
+        cc = ox * ox + oy * oy - r * r
+        disc = b * b - 4 * a * cc
+        ok = (disc > 0) & (a > 1e-12)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        s_side = np.where(ok, (-b - sq) / np.maximum(2 * a, 1e-12), np.inf)
+        z_side = oz + s_side * dz
+        side_ok = ok & (s_side > 0.05) & (z_side >= 0.0) & (z_side <= hgt)
+        s_side = np.where(side_ok, s_side, np.inf)
+        # top cap disk at z = hgt
+        dz_safe = np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+        s_cap = (hgt - oz) / dz_safe
+        px = ox + s_cap * dx
+        py = oy + s_cap * dy
+        cap_ok = (s_cap > 0.05) & (px * px + py * py <= r * r)
+        s_cap = np.where(cap_ok, s_cap, np.inf)
+        s = np.minimum(s_side, s_cap).astype(np.float32)
+        use_cap = s_cap <= s_side
+        nx = np.where(use_cap, 0.0, (ox + s * dx) / r)
+        ny = np.where(use_cap, 0.0, (oy + s * dy) / r)
+        nz = np.where(use_cap, 1.0, 0.0)
+        return s, np.stack([nx, ny, nz], axis=-1).astype(np.float32)
+
+    def _table_rgb(self, px, py):
+        """World-space procedural table color (H, W, 3) float."""
+        lum = (self._tex_amp
+               * (_bilinear_lattice(self._tex_coarse, px / 0.12, py / 0.12)
+                  + 0.5 * _bilinear_lattice(self._tex_fine, px / 0.035,
+                                            py / 0.035)))
+        base = np.full(px.shape + (3,), 95.0, np.float32)
+        for ch in range(3):
+            base[..., ch] += lum + 12.0 * _bilinear_lattice(
+                self._tex_tint[..., ch], px / 0.3, py / 0.3)
+        for (cx, cy, hx, hy, col) in self._decals:
+            inside = (np.abs(px - cx) <= hx) & (np.abs(py - cy) <= hy)
+            base = np.where(inside[..., None], col[None, None, :], base)
+        return base
+
+    def _shade(self, normal):
+        lam = np.maximum((normal * self._light).sum(-1), 0.0)
+        return self._ambient + (1.0 - self._ambient) * lam
+
+    def _render_camera_hard(self, ci: int, t_sec: float):
+        h, w = self._hw
+        d_rob, origin = self._rays(ci)
+        dz = d_rob[..., 2]
+        s_table = np.where(dz < -1e-6, -origin[2] / np.minimum(dz, -1e-6),
+                           np.inf).astype(np.float32)
+        depth = s_table.copy()
+        owner = np.full((h, w), -1, np.int32)
+        shade = np.full((h, w), self._shade(np.array([0.0, 0.0, 1.0])),
+                        np.float32)
+        amodal = np.zeros((len(self._objects), h, w), bool)
+        for k, obj in enumerate(self._objects):
+            c = obj.center(t_sec)
+            if obj.kind == "box":
+                s, n = self._intersect_box(origin, d_rob, c, obj.size)
+            else:
+                s, n = self._intersect_cyl(origin, d_rob, c, obj.size)
+            amodal[k] = s < s_table  # visible were the others absent
+            closer = s < depth
+            depth = np.where(closer, s, depth)
+            owner = np.where(closer, k, owner)
+            shade = np.where(closer, self._shade(n).astype(np.float32), shade)
+        px = origin[0] + s_table * d_rob[..., 0]
+        py = origin[1] + s_table * d_rob[..., 1]
+        rgb = self._table_rgb(np.where(np.isfinite(s_table), px, 0.0),
+                              np.where(np.isfinite(s_table), py, 0.0))
+        colors = np.stack([o.color for o in self._objects]).astype(np.float32)
+        obj_rgb = colors[np.clip(owner, 0, None)]
+        rgb = np.where((owner >= 0)[..., None], obj_rgb, rgb)
+        rgb = np.clip(rgb * (shade * self._gain)[..., None], 0, 255)
+        masks = np.stack([owner == k for k in range(len(self._objects))]) \
+            if self._objects else np.zeros((0, h, w), bool)
+        depth = np.where(np.isfinite(depth), depth, np.nan).astype(np.float32)
+        return rgb.astype(np.uint8), depth, masks, amodal
+
+    def _render_all(self, index: int):
+        if self._memo is not None and self._memo[0] == index:
+            return self._memo[1]
+        t_sec = index / 30.0
+        rgbs, depths, masks, amodals = [], [], [], []
+        if self.domain == "easy":
+            centers = self.object_centers(index)
+            for cam in self._cams:
+                r, d, m = self._render_camera(cam, centers)
+                rgbs.append(r), depths.append(d), masks.append(m)
+                amodals.append(m)  # top-down boxes never occlude
+        else:
+            for ci in range(self._n_cams):
+                r, d, m, am = self._render_camera_hard(ci, t_sec)
+                rgbs.append(r), depths.append(d), masks.append(m)
+                amodals.append(am)
+        out = (np.stack(rgbs), np.stack(depths), np.stack(masks),
+               np.stack(amodals))
+        self._memo = (index, out)
+        return out
+
     def get(self, index: int) -> FramePacket:
-        centers = self.object_centers(index)
-        rgbs, depths = [], []
-        for cam in self._cams:
-            rgb, depth, _ = self._render_camera(cam, centers)
-            rgbs.append(rgb)
-            depths.append(depth)
+        rgb, depth, _, _ = self._render_all(index)
+        if self.rgb_noise:
+            nrng = np.random.default_rng(
+                (self.seed * 1_000_003 + index) & 0x7FFFFFFF)
+            rgb = np.clip(
+                rgb.astype(np.float32)
+                + nrng.normal(0.0, self.rgb_noise * 255.0, rgb.shape),
+                0, 255).astype(np.uint8)
         return FramePacket(
-            rgb=np.stack(rgbs), depth=np.stack(depths),
+            rgb=rgb, depth=depth,
             status=np.zeros(self._n_cams, np.uint32), index=index,
         )
 
     def gt_masks(self, index: int) -> np.ndarray:
-        """(C, N, H, W) ground-truth instance masks (golden-test oracle)."""
-        centers = self.object_centers(index)
-        out = []
-        for cam in self._cams:
-            _, _, masks = self._render_camera(cam, centers)
-            out.append(masks)
-        return np.stack(out)
+        """(C, N_targets, H, W) VISIBLE ground-truth instance masks."""
+        _, _, masks, _ = self._render_all(index)
+        return masks[:, :self.num_objects]
+
+    def gt_masks_all(self, index: int) -> np.ndarray:
+        """(C, N_targets + N_distractors, H, W) visible masks (hard domain;
+        in the easy domain identical to `gt_masks`). Row k's class is
+        `all_classes[k]`."""
+        _, _, masks, _ = self._render_all(index)
+        return masks
+
+    def visible_fraction(self, index: int) -> np.ndarray:
+        """(C, N_targets) visible-px / amodal-px per target — 1.0 when
+        unoccluded, 0.0 when fully hidden (or out of frame). The goldens
+        use this to locate genuine occlusion events analytically."""
+        _, _, masks, amodal = self._render_all(index)
+        vis = masks[:, :self.num_objects].sum((-1, -2)).astype(np.float64)
+        amo = amodal[:, :self.num_objects].sum((-1, -2)).astype(np.float64)
+        return (vis / np.maximum(amo, 1.0)).astype(np.float32)

@@ -154,30 +154,41 @@ def build_synth_dataset(
     max_instances: int = 4,
     seed: int = 0,
     noise: float = 0.02,
+    domain: str = "easy",
 ) -> Dict[str, np.ndarray]:
     """Renders scenes and returns stacked host arrays.
 
     `images` are raw (H, W, 3) BGR uint8 frames — letterboxing runs inside
     the jitted train step (`rt3d.train.step`) so it is bit-identical to
     the inference path (`Pipeline.preprocess`).
+
+    `domain`: "easy" — the original flat-shaded top-down family;
+    "hard" — the domain-randomized family (occlusion, texture, lighting,
+    distractor classes, `rt3d/io/synthetic.py`); "mix" — 3/4 hard, 1/4
+    easy (keeps the easy-family goldens in-distribution while the model
+    learns the hard conditions). Hard/mix scenes supervise distractor
+    instances with their OWN classes (book/mouse), so the detector learns
+    to not call clutter a bottle and the pipeline's `class_filter` is
+    exercised against real model output.
     """
     rng = np.random.default_rng(seed)
     meta = letterbox_params(hw, model.input_hw)
+    # hard scenes add up to 3 distractor instances on top of the targets
+    inst_cap = max_instances + (0 if domain == "easy" else 3)
     images, targets = [], []
     for s in range(num_scenes):
+        hard = domain == "hard" or (domain == "mix" and s % 4 != 0)
         n_obj = int(rng.integers(1, max_instances + 1))
         src = SyntheticSource(
             num_cameras=num_cameras, num_frames=None, hw=hw,
             num_objects=n_obj, seed=seed * 1000 + s,
+            domain="hard" if hard else "easy",
         )
-        classes = np.array(
-            [SYNTH_CLASSES[k % len(SYNTH_CLASSES)] for k in range(n_obj)],
-            np.int64,
-        )
+        classes = src.all_classes.astype(np.int64)
         for f in range(frames_per_scene):
             idx = int(rng.integers(0, 3000))
             pkt = src.get(idx)
-            gt = src.gt_masks(idx)  # (C, N, H, W)
+            gt = src.gt_masks_all(idx)  # (C, M, H, W) visible masks
             for c in range(num_cameras):
                 img = pkt.rgb[c]
                 if noise:
@@ -188,7 +199,7 @@ def build_synth_dataset(
                 images.append(img)
                 targets.append(targets_for_masks(
                     gt[c], classes, meta, model.input_hw,
-                    model.num_classes, max_instances,
+                    model.num_classes, inst_cap,
                 ))
     out = {"images": np.stack(images)}
     for k in targets[0]:

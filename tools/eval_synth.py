@@ -6,12 +6,31 @@ Shared by `tools/train_synth.py` (post-training eval) and
 weights artifact): runs `Pipeline.detect` + `Pipeline.masks` — the exact
 inference path of `Pipeline.step` — and scores predicted instance masks
 against `SyntheticSource.gt_masks`.
+
+Metrics (per the reference's operating point — conf/NMS filtering at
+`/root/reference/2cam/2cams_mask_gpu.py:274,283` is what keeps its
+downstream object path phantom-free):
+
+* ``recall`` / ``mean_iou``: over TARGET instances with >= `min_visible_px`
+  visible pixels, fraction matched by a same-class prediction with mask
+  IoU >= 0.5, and the mean best-IoU.
+* ``precision`` = TP / (TP + FP) over ALL predictions, matched one-to-one
+  (score order) against ALL ground-truth instances — targets AND
+  distractors, so a correct `book` detection is a true positive while a
+  `bottle` fired on a book is not.  FPs are characterized:
+    - ``fp_dup``: same-class IoU >= 0.5 with an already-claimed instance
+      (double detections surviving class-aware NMS);
+    - ``fp_misclass``: IoU >= 0.5 with an instance of another class;
+    - ``fp_ghost``: no ground-truth overlap at all (phantoms that would
+      become phantom object clouds downstream).
+* ``fp_per_frame``: (fp_dup + fp_misclass + fp_ghost) / frames — the rate
+  at which phantom candidates enter masks->clouds->fusion.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -20,6 +39,38 @@ def mask_iou(a: np.ndarray, b: np.ndarray) -> float:
     inter = np.logical_and(a, b).sum()
     union = np.logical_or(a, b).sum()
     return float(inter) / float(max(union, 1))
+
+
+def match_frame(
+    gt_masks: np.ndarray,     # (M, H, W) bool — ALL instances, one camera
+    gt_classes: np.ndarray,   # (M,) int
+    pred_masks: np.ndarray,   # (D, H, W) bool, score-ordered
+    pred_valid: np.ndarray,   # (D,) bool
+    pred_classes: np.ndarray,  # (D,) int
+    iou_thresh: float = 0.5,
+) -> Dict[str, int]:
+    """One-to-one greedy matching in score order. Returns TP/FP counts."""
+    claimed = np.zeros(len(gt_masks), bool)
+    tp = dup = misclass = ghost = 0
+    for d in range(len(pred_masks)):
+        if not pred_valid[d]:
+            continue
+        ious = np.array([mask_iou(g, pred_masks[d]) for g in gt_masks]) \
+            if len(gt_masks) else np.zeros((0,))
+        same = ious * (gt_classes == pred_classes[d])
+        if len(same) and same.max() >= iou_thresh:
+            k = int(np.argmax(same))
+            if claimed[k]:
+                dup += 1
+            else:
+                claimed[k] = True
+                tp += 1
+        elif len(ious) and ious.max() >= iou_thresh:
+            misclass += 1
+        else:
+            ghost += 1
+    return {"tp": tp, "fp_dup": dup, "fp_misclass": misclass,
+            "fp_ghost": ghost}
 
 
 def evaluate_weights(
@@ -31,12 +82,13 @@ def evaluate_weights(
     seed: int = 777,
     conf_thresh: float = 0.25,
     pipe=None,
+    domain: str = "easy",
+    min_visible_px: int = 64,
+    max_objects: int = 3,
 ) -> Dict[str, float]:
-    """Returns {recall, mean_iou, mean_dets, frames}.
-
-    recall: fraction of ground-truth instances matched by a prediction of
-    the right class with mask IoU >= 0.5. mean_iou: mean best-IoU over all
-    gt instances (unmatched count as 0).
+    """Returns recall / mean_iou / precision / FP breakdown (docstring
+    above). Each frame is a fresh seeded scene (held out from training by
+    seed), `1..max_objects` targets; hard scenes add their own distractors.
     """
     import jax
     import jax.numpy as jnp
@@ -44,33 +96,36 @@ def evaluate_weights(
     from rt3d.config import reference_2cam_config, with_cameras
     from rt3d.io.synthetic import SyntheticSource
     from rt3d.pipeline.step import build_pipeline
-    from rt3d.train.data import SYNTH_CLASSES
 
     rng = np.random.default_rng(seed)
-    ious, matched, total_gt, ndets = [], 0, 0, []
-    if pipe is None:
-        cfg = reference_2cam_config()
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(
-                cfg.model, variant=variant, input_hw=tuple(input_hw),
-                conf_thresh=conf_thresh,
-            ),
-        )
-        src0 = SyntheticSource(num_cameras=2, num_frames=None, hw=hw,
-                               num_objects=1, seed=int(seed))
-        cfg = with_cameras(cfg, src0.cameras())
-        pipe = build_pipeline(cfg)
-    detect = jax.jit(pipe.detect)
-    masks_fn = jax.jit(pipe.masks)
-
+    ious = []
+    matched = total_gt = gt_small = 0
+    counts = {"tp": 0, "fp_dup": 0, "fp_misclass": 0, "fp_ghost": 0}
+    ndets = []
+    base_pipe = pipe
     for f in range(num_frames):
-        n_obj = int(rng.integers(1, 4))
+        n_obj = int(rng.integers(1, max_objects + 1))
         src = SyntheticSource(num_cameras=2, num_frames=None, hw=hw,
-                              num_objects=n_obj, seed=int(seed) + f)
+                              num_objects=n_obj, seed=int(seed) + f,
+                              domain=domain)
+        if base_pipe is None and f == 0:
+            cfg = reference_2cam_config()
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(
+                    cfg.model, variant=variant, input_hw=tuple(input_hw),
+                    conf_thresh=conf_thresh,
+                ),
+            )
+            cfg = with_cameras(cfg, src.cameras())
+            pipe = build_pipeline(cfg)
+        if f == 0:
+            detect = jax.jit(pipe.detect)
+            masks_fn = jax.jit(pipe.masks)
         idx = int(rng.integers(0, 3000))
         pkt = src.get(idx)
-        gt = src.gt_masks(idx)  # (C, N, H, W)
+        gt_all = src.gt_masks_all(idx)     # (C, M, H, W)
+        cls_all = src.all_classes          # (M,)
         images = pipe.preprocess(jnp.asarray(pkt.rgb))
         det, protos, _ = detect(params, images)
         pred_masks = np.asarray(masks_fn(protos, det))  # (C, D, H, W)
@@ -78,25 +133,39 @@ def evaluate_weights(
         det_cls = np.asarray(det.classes)
         ndets.append(int(det_valid.sum()))
         for c in range(2):
-            for k in range(n_obj):
-                gt_cls = SYNTH_CLASSES[k % len(SYNTH_CLASSES)]
-                g = gt[c, k]
-                if g.sum() < 16:
-                    continue  # out of frame
+            fm = match_frame(gt_all[c], cls_all, pred_masks[c],
+                             det_valid[c], det_cls[c])
+            for k in counts:
+                counts[k] += fm[k]
+            for k in range(n_obj):   # recall over targets only
+                g = gt_all[c, k]
+                npx = g.sum()
+                if npx < min_visible_px:
+                    gt_small += int(npx >= 16)
+                    continue
                 total_gt += 1
                 best = 0.0
                 for d in range(pred_masks.shape[1]):
-                    if not det_valid[c, d] or det_cls[c, d] != gt_cls:
+                    if not det_valid[c, d] or det_cls[c, d] != cls_all[k]:
                         continue
                     best = max(best, mask_iou(g, pred_masks[c, d]))
                 ious.append(best)
                 if best >= 0.5:
                     matched += 1
 
+    n_fp = counts["fp_dup"] + counts["fp_misclass"] + counts["fp_ghost"]
+    n_pred = counts["tp"] + n_fp
     return {
         "recall": matched / max(total_gt, 1),
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
+        "precision": counts["tp"] / max(n_pred, 1),
+        "fp_per_frame": n_fp / max(num_frames, 1),
+        "dup_rate": counts["fp_dup"] / max(n_pred, 1),
+        **counts,
         "mean_dets": float(np.mean(ndets)) if ndets else 0.0,
         "gt_instances": total_gt,
+        "gt_below_min_visible": gt_small,
+        "min_visible_px": min_visible_px,
+        "domain": domain,
         "frames": num_frames,
     }

@@ -37,7 +37,12 @@ def main() -> int:
     p.add_argument("--input-hw", type=int, nargs=2, default=(384, 640))
     p.add_argument("--out", default="weights/yolo11n_synth_seg.npz")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--eval-frames", type=int, default=6)
+    p.add_argument("--eval-frames", type=int, default=10)
+    p.add_argument("--domain", default="mix",
+                   choices=("easy", "hard", "mix"),
+                   help="training scene family (rt3d/io/synthetic.py): "
+                        "mix = 3/4 domain-randomized hard scenes "
+                        "(occlusion/texture/lighting/distractors), 1/4 easy")
     p.add_argument("--resume", default=None,
                    help="existing .npz to continue from")
     p.add_argument("--warmup", type=int, default=None,
@@ -80,6 +85,7 @@ def main() -> int:
     ds = build_synth_dataset(
         model, num_scenes=args.scenes,
         frames_per_scene=args.frames_per_scene, hw=hw, seed=args.seed,
+        domain=args.domain,
     )
     n = len(ds["images"])
     print(f"dataset: {n} samples in {time.time() - t0:.1f}s "
@@ -172,11 +178,24 @@ def main() -> int:
     from tools.eval_synth import evaluate_weights
 
     params_f32 = jax.device_get(state.params)
+    # primary eval runs on the HARD held-out family whenever the model saw
+    # hard scenes (the capability bar: occlusion/clutter/distractors);
+    # the easy family is reported alongside for continuity with rounds 2-3
+    primary_domain = "easy" if args.domain == "easy" else "hard"
     stats = evaluate_weights(
         params_f32, variant=args.variant, hw=hw, input_hw=input_hw,
         num_frames=args.eval_frames, seed=args.seed + 777,
+        domain=primary_domain,
     )
-    print("eval:", json.dumps(stats), flush=True)
+    print(f"eval[{primary_domain}]:", json.dumps(stats), flush=True)
+    stats_easy = stats
+    if primary_domain != "easy":
+        stats_easy = evaluate_weights(
+            params_f32, variant=args.variant, hw=hw, input_hw=input_hw,
+            num_frames=args.eval_frames, seed=args.seed + 777,
+            domain="easy",
+        )
+        print("eval[easy]:", json.dumps(stats_easy), flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     from rt3d.models.yolo.convert import save_params
@@ -189,9 +208,10 @@ def main() -> int:
         "variant": args.variant, "input_hw": list(input_hw),
         "train_hw": list(hw), "steps": args.steps, "batch": args.batch,
         "lr": args.lr, "warmup": warmup, "scenes": args.scenes,
-        "seed": args.seed,
-        "final_metrics": last, "eval": stats, "dtype": "float16",
-        "classes": [39, 41],
+        "seed": args.seed, "domain": args.domain,
+        "final_metrics": last, "eval": stats, "eval_easy": stats_easy,
+        "dtype": "float16",
+        "classes": [39, 41] if args.domain == "easy" else [39, 41, 73, 64],
         "data": "rt3d.train.data.build_synth_dataset (analytic scene)",
     }
     with open(os.path.splitext(args.out)[0] + ".json", "w") as f:
