@@ -110,3 +110,63 @@ def test_train_checkpoint_resume_bitexact(tmp_path):
         resumed, m = step_fn(resumed, batch)
         lossesB.append(float(m["loss"]))
     np.testing.assert_array_equal(np.asarray(lossesA), np.asarray(lossesB))
+
+
+def test_photometric_augment_bounds_and_determinism():
+    from rt3d.train.augment import photometric_augment
+
+    key = jax.random.PRNGKey(3)
+    imgs = jax.random.uniform(jax.random.PRNGKey(1), (4, 32, 48, 3))
+    a = photometric_augment(key, imgs)
+    b = photometric_augment(key, imgs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.min(a)) >= 0.0 and float(jnp.max(a)) <= 1.0
+    # different keys actually jitter
+    c = photometric_augment(jax.random.PRNGKey(4), imgs)
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_random_hflip_is_geometry_exact():
+    """Flipping the IMAGE and flipping the TARGETS commute: dense targets
+    built from mirrored masks equal the flipped dense targets built from
+    the original masks (pad_w == 0 for this 2:1 aspect input)."""
+    from rt3d.models.yolo.model import YoloSeg
+    from rt3d.models.yolo.postprocess import letterbox_params
+    from rt3d.train.augment import anchor_flip_perm, random_hflip
+    from rt3d.train.data import targets_for_masks
+
+    hw, input_hw = (180, 320), (96, 160)
+    meta = letterbox_params(hw, input_hw)
+    assert (input_hw[1] - meta.new_hw[1]) == 0  # symmetric (zero) pad
+    rng = np.random.default_rng(0)
+    masks = np.zeros((2, *hw), bool)
+    masks[0, 40:90, 60:130] = True
+    masks[1, 100:150, 200:290] = True
+    classes = np.array([39, 41])
+    t = targets_for_masks(masks, classes, meta, input_hw, 80, 4)
+    t_flip_direct = targets_for_masks(
+        masks[:, :, ::-1], classes, meta, input_hw, 80, 4)
+
+    perm = jnp.asarray(anchor_flip_perm(input_hw))
+    batch = {k: jnp.asarray(v)[None] for k, v in t.items() if k != "cls"}
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, *input_hw, 3))
+    # p=1: always flip
+    out_img, out_t = random_hflip(jax.random.PRNGKey(1), imgs, batch,
+                                  perm, input_hw[1], p=1.0)
+    np.testing.assert_array_equal(
+        np.asarray(out_img[0]), np.asarray(imgs[0, :, ::-1, :]))
+    np.testing.assert_allclose(
+        np.asarray(out_t["box_w"][0]), t_flip_direct["box_w"], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_t["box"][0]), t_flip_direct["box"], atol=1e-5)
+    # nearest-sampled proto masks can differ on BOUNDARY cells only: at
+    # ratio 0.5 every sample position lands exactly on x.5, so the
+    # round-half-even tie resolves one pixel apart under mirroring — a
+    # <=1-sample edge effect at 8x-downsampled resolution, immaterial as
+    # supervision. Interior must agree.
+    diff = np.abs(np.asarray(out_t["inst_mask"][0])
+                  - t_flip_direct["inst_mask"])
+    assert diff.mean() < 0.02, diff.mean()
+    np.testing.assert_allclose(
+        np.asarray(out_t["inst_box"][0]), t_flip_direct["inst_box"],
+        atol=1e-4)
