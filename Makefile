@@ -35,14 +35,19 @@ verify-cpu: test
 
 # retrain the in-repo weight artifacts on the TPU (zero-egress analog of
 # downloading the reference's published checkpoints; see README)
+# round-4 regimen: mixed easy+hard domain (occlusion/texture/distractors),
+# photometric + flip augmentation, on-mask anchor assignment, IoU
+# regression loss; manifests record held-out HARD-family recall/IoU AND
+# precision/FP rates (tools/eval_synth.py)
 train-weights:
 	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py \
-	  --steps 6000 --scenes 40 --out weights/yolo11n_synth_seg.npz
+	  --steps 9000 --scenes 96 --frames-per-scene 2 \
+	  --out weights/yolo11n_synth_seg.npz
 	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py --variant x \
-	  --steps 6000 --scenes 40 --lr 1e-4 --warmup 1000 \
+	  --steps 9000 --scenes 96 --frames-per-scene 2 --lr 1e-4 --warmup 1000 \
 	  --out weights/yolo11x_synth_seg.npz
 	PYTHONPATH=.:$$PYTHONPATH python tools/train_synth.py --variant l \
-	  --steps 6000 --scenes 40 --lr 1e-4 --warmup 1000 \
+	  --steps 9000 --scenes 96 --frames-per-scene 2 --lr 1e-4 --warmup 1000 \
 	  --out weights/yolo11l_synth_seg.npz
 
 # the L4 loop end to end on the device backend: record a synthetic HD720

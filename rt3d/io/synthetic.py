@@ -9,9 +9,11 @@ Serves two roles the reference fills with live hardware:
 Two scene families (the `domain` knob):
 
 * ``"easy"`` — the original family: two cameras look straight down at a
-  z=0 table; `num_objects` flat-shaded boxes glide across it.  Kept
-  bit-exact (same rendering code path) because the geometry golden tests
-  and the round-3 weight artifacts were built on it.
+  z=0 table; `num_objects` flat-shaded boxes glide across it.  Same
+  rendering code path as rounds 1-3, with one round-4 change: odd object
+  slots ('Cup') render as wider/flatter boxes (`_easy_size`), so the
+  class<->shape correlation matches the hard family instead of
+  contradicting it.
 
 * ``"hard"`` — the domain-randomized family that approximates the
   reference's real operating conditions (`/root/reference/README.md:39-52`:
@@ -56,7 +58,7 @@ DISTRACTOR_CLASSES = (73, 64)  # book, mouse
 
 
 @dataclass
-class _SceneObject:
+class SceneObject:
     """One rigid body: a vertical box or cylinder standing on the table."""
 
     kind: str                # 'box' | 'cyl'
@@ -165,7 +167,19 @@ class SyntheticSource:
 
         # ---- hard domain: per-scene randomization -----------------------
         self.rgb_noise = (float(rgb_noise) if rgb_noise is not None
-                          else float(rng.uniform(0.01, 0.03)))
+                          else float(rng.uniform(0.005, 0.02)))
+
+        def object_color() -> np.ndarray:
+            # random but FAIR: real bottles/cups are rarely the exact
+            # shade of the table they stand on. Resample until the color
+            # is either clearly saturated (channel spread) or clearly
+            # off the table's ~95-gray luminance — a camouflage-gray
+            # object under dim light is an unfair ask at any model size
+            # (round-4 diagnostic: a 95-gray cup on the textured table).
+            while True:
+                c = rng.integers(30, 226, 3).astype(np.float32)
+                if (c.max() - c.min()) >= 45 or abs(c.mean() - 95.0) >= 55:
+                    return c.astype(np.uint8)
         look = np.array([0.25, 0.6, 0.0])
         tilt = (float(tilt_deg) if tilt_deg is not None
                 else float(rng.uniform(22.0, 40.0)))
@@ -186,7 +200,7 @@ class SyntheticSource:
         cls_order = np.array([(39, 41)[k % 2] for k in range(num_objects)])
         rng.shuffle(cls_order)
         self.object_classes = cls_order.astype(np.int64)
-        self._objects: List[_SceneObject] = []
+        self._objects: List[SceneObject] = []
         for k in range(num_objects):
             cls = int(cls_order[k])
             if cls == 39:
@@ -195,11 +209,14 @@ class SyntheticSource:
             else:
                 r = float(rng.uniform(0.038, 0.058))
                 hgt = float(rng.uniform(0.07, 0.12))
-            self._objects.append(_SceneObject(
+            self._objects.append(SceneObject(
                 kind="cyl", cls=cls, size=(r, r, hgt),
-                color=rng.integers(45, 225, 3).astype(np.uint8),
-                x0=0.25 + float(rng.uniform(-0.05, 0.05)),
-                y0=0.6 + float(rng.uniform(-0.08, 0.08)),
+                color=object_color(),
+                # orbit centres spread across the tabletop (±5 cm packed
+                # every target into one permanently-overlapping pile under
+                # tilt — unfairly beyond the reference's operating scene)
+                x0=0.25 + float(rng.uniform(-0.15, 0.15)),
+                y0=0.6 + float(rng.uniform(-0.14, 0.14)),
                 rx=float(rng.uniform(0.05, 0.16)),
                 ry=float(rng.uniform(0.05, 0.17)),
                 phase=float(self._phases[k]), speed=float(self._speeds[k]),
@@ -219,9 +236,9 @@ class SyntheticSource:
                         float(rng.uniform(0.03, 0.05)),
                         float(rng.uniform(0.025, 0.04)))
             moving = bool(rng.uniform() < 0.4)
-            self._objects.append(_SceneObject(
+            self._objects.append(SceneObject(
                 kind="box", cls=cls, size=size,
-                color=rng.integers(45, 225, 3).astype(np.uint8),
+                color=object_color(),
                 x0=0.25 + float(rng.uniform(-0.16, 0.16)),
                 y0=0.6 + float(rng.uniform(-0.18, 0.18)),
                 rx=float(rng.uniform(0.04, 0.10)) if moving else 0.0,
@@ -237,7 +254,7 @@ class SyntheticSource:
             [math.cos(az) * math.cos(el), math.sin(az) * math.cos(el),
              math.sin(el)], np.float32)
         self._ambient = float(rng.uniform(0.35, 0.55))
-        self._gain = float(rng.uniform(0.75, 1.15))
+        self._gain = float(rng.uniform(0.85, 1.15))
         self._tex_coarse = rng.uniform(-1.0, 1.0, (8, 8)).astype(np.float32)
         self._tex_fine = rng.uniform(-1.0, 1.0, (32, 32)).astype(np.float32)
         self._tex_tint = rng.uniform(-1.0, 1.0, (8, 8, 3)).astype(np.float32)
@@ -275,10 +292,42 @@ class SyntheticSource:
 
     # -- scene model ------------------------------------------------------
 
+    def set_objects(self, objects: List["SceneObject"]) -> None:
+        """Replace the scene's objects with an explicit script (hard domain
+        only). The tracking/occlusion goldens use this to stage exact
+        events — e.g. a target orbiting behind a static occluder for a
+        known number of frames — while keeping the analytic ground truth
+        (`gt_masks`, `visible_fraction`) exact."""
+        if self.domain != "hard":
+            raise ValueError("set_objects requires domain='hard'")
+        flags = [o.is_target for o in objects]
+        if flags != sorted(flags, reverse=True):
+            raise ValueError("targets must precede distractors "
+                             "(gt_masks slices the leading rows)")
+        self._objects = list(objects)
+        self.num_objects = sum(1 for o in objects if o.is_target)
+        self.object_classes = np.array(
+            [o.cls for o in objects if o.is_target], np.int64)
+        self.distractor_classes = np.array(
+            [o.cls for o in objects if not o.is_target], np.int64)
+        self._memo = None
+
     @property
     def all_classes(self) -> np.ndarray:
         """(N_targets + N_distractors,) classes, targets first."""
         return np.concatenate([self.object_classes, self.distractor_classes])
+
+    def _easy_size(self, k: int) -> Tuple[float, float, float]:
+        """Easy-domain per-object box size. Even slots ('Bottle') keep the
+        original `object_size_m`; odd slots ('Cup') are a wider, flatter
+        box since round 4 — so the class<->shape correlation is CONSISTENT
+        with the hard family (class was previously signalled only by the
+        per-slot fill color, which contradicted the hard domain's
+        shape-based semantics and taught the detector two conflicting
+        class rules during mixed-domain training)."""
+        if k % 2 == 0:
+            return self.obj_size
+        return (0.09, 0.09, 0.055)
 
     def object_centers(self, index: int) -> np.ndarray:
         """(N, 3) TARGET object centres in the robot frame at a frame."""
@@ -290,7 +339,7 @@ class SyntheticSource:
                 out[k] = [
                     0.25 + 0.15 * math.cos(ph),
                     0.6 + 0.2 * math.sin(ph) + 0.25 * k / max(self.num_objects, 1),
-                    self.obj_size[2] / 2,
+                    self._easy_size(k)[2] / 2,
                 ]
             return out
         return np.stack([o.center(t) for o in self._objects if o.is_target])
@@ -317,8 +366,8 @@ class SyntheticSource:
         rgb = np.full((h, w, 3), 90, np.uint8)  # grey table
 
         masks = np.zeros((len(centers), h, w), bool)
-        sx, sy, sz = self.obj_size
         for k, c in enumerate(centers):
+            sx, sy, sz = self._easy_size(k)
             # top face of the box at z = sz: s = (sz - t_z)/dz
             s_top = np.where(dz < -1e-6, (sz - t[2]) / np.minimum(dz, -1e-6), np.inf)
             px = t[0] + s_top * d_rob[..., 0]
@@ -398,8 +447,9 @@ class SyntheticSource:
         s_cap = np.where(cap_ok, s_cap, np.inf)
         s = np.minimum(s_side, s_cap).astype(np.float32)
         use_cap = s_cap <= s_side
-        nx = np.where(use_cap, 0.0, (ox + s * dx) / r)
-        ny = np.where(use_cap, 0.0, (oy + s * dy) / r)
+        sf = np.where(np.isfinite(s), s, 0.0)  # normals only used at hits
+        nx = np.where(use_cap, 0.0, (ox + sf * dx) / r)
+        ny = np.where(use_cap, 0.0, (oy + sf * dy) / r)
         nz = np.where(use_cap, 1.0, 0.0)
         return s, np.stack([nx, ny, nz], axis=-1).astype(np.float32)
 
@@ -414,8 +464,14 @@ class SyntheticSource:
             base[..., ch] += lum + 12.0 * _bilinear_lattice(
                 self._tex_tint[..., ch], px / 0.3, py / 0.3)
         for (cx, cy, hx, hy, col) in self._decals:
-            inside = (np.abs(px - cx) <= hx) & (np.abs(py - cy) <= hy)
-            base = np.where(inside[..., None], col[None, None, :], base)
+            # soft elliptical blend: reads as a stain/texture patch, NOT an
+            # object — solid rectangles were visually identical to the
+            # flat 'book' distractors and taught the detector that crisp
+            # color patches on the table are things (round-4 smoke run:
+            # 232 ghost detections over 8 frames, mostly on decals)
+            r2 = ((px - cx) / hx) ** 2 + ((py - cy) / hy) ** 2
+            alpha = 0.45 * np.clip(1.3 - r2, 0.0, 1.0)[..., None]
+            base = base * (1.0 - alpha) + col[None, None, :] * alpha
         return base
 
     def _shade(self, normal):

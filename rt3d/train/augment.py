@@ -85,5 +85,10 @@ def random_hflip(key: jax.Array, images: jax.Array, targets: dict,
     ib = targets["inst_box"]
     ib_f = jnp.stack([input_w - ib[..., 2], ib[..., 1],
                       input_w - ib[..., 0], ib[..., 3]], axis=-1)
+    # keep PADDED instance slots all-zero (mirroring zeros would invent
+    # a degenerate [W, 0, W, 0] box; downstream ignores weight-0 slots,
+    # but canonical zeros keep flip(flip(x)) == x)
+    ib_f = jnp.where((jnp.abs(ib).sum(-1, keepdims=True) > 0), ib_f,
+                     jnp.zeros_like(ib_f))
     t["inst_box"] = sel(ib, ib_f)
     return out_img, t

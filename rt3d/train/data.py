@@ -94,6 +94,13 @@ def targets_for_masks(
     inst_boxes = np.zeros((max_instances, 4), np.float32)  # input px xyxy
 
     oy, ox, inside = _proto_sample_idx(meta)
+    # anchor centres in ORIGINAL-image pixels, for the on-mask constraint
+    sh, sw = meta.src_hw
+    ax_o = np.round((a_pts[:, 0] - meta.pad_left) / meta.ratio).astype(np.int64)
+    ay_o = np.round((a_pts[:, 1] - meta.pad_top) / meta.ratio).astype(np.int64)
+    a_in_img = (ax_o >= 0) & (ax_o < sw) & (ay_o >= 0) & (ay_o < sh)
+    ax_c = np.clip(ax_o, 0, sw - 1)
+    ay_c = np.clip(ay_o, 0, sh - 1)
     assigned_area = np.full((a,), np.inf, np.float32)
     m_used = 0
     for k in range(len(masks)):
@@ -118,6 +125,17 @@ def targets_for_masks(
             & (a_pts[:, 1] >= b[1]) & (a_pts[:, 1] < b[3])
             & (area < assigned_area)
         )
+        # ON-MASK constraint (round 4): keep only positives whose centre
+        # lies on the instance's VISIBLE pixels. Box-interior-only
+        # assignment put positives on occluder/background pixels inside
+        # the bbox, which trained sloppy boxes — the round-4 diagnostic
+        # showed 10+ saturated detections jittering around each hard-scene
+        # object, too spread for NMS to merge (and box-cropped masks
+        # inherit the sloppiness). Falls back to the box interior when no
+        # anchor centre lands on the mask (thin/distant instances).
+        on_mask = hit & a_in_img & masks[k][ay_c, ax_c]
+        if on_mask.any():
+            hit = on_mask
         if not hit.any():
             # tiny/distant object: fall back to the single nearest anchor
             # of the finest level so every instance has a positive

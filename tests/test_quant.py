@@ -65,19 +65,20 @@ def quantized_setup():
 
 
 def test_quantization_covers_the_conv_stack(quantized_setup):
-    """Most conv FLOPs must actually run int8: every backbone/neck conv
-    except the exclusions (stem, head logits, proto output) quantizes."""
+    """The BACKBONE conv FLOPs run int8; neck + head stay bf16 by policy
+    since round 4 (the IoU-trained box regression is quantization-
+    sensitive there — quant.py module docstring has the measurement)."""
     _, params, qparams, _ = quantized_setup
     n_convs = sum(1 for k in params if k.endswith("/kernel"))
     n_q8 = sum(1 for k in qparams if k.endswith("/kernel_q8"))
     n_kept = sum(1 for k in qparams if k.endswith("/kernel"))
     assert n_q8 + n_kept == n_convs
-    # n-variant: 10 excluded by policy (stem + 9 head logit convs +
-    # proto cv3 is a conv_module -> 11 paths); everything else quantizes
-    assert n_kept <= 12, (n_q8, n_kept)
-    assert n_q8 >= n_convs - 12
+    # n-variant: 43 backbone convs (stages 1-15) are quantizable; the
+    # act-scale floor may keep a few bf16 on top of the policy
+    assert n_q8 >= 38, (n_q8, n_kept)
     for k in qparams:
         if k.endswith("/kernel_q8"):
+            assert int(k.split("/")[0]) < 16, k
             assert qparams[k].dtype == np.int8
 
 
@@ -122,7 +123,7 @@ def test_precomputed_sidecar_scales_work(quantized_setup):
     scales = quant.load_act_scales(sp, weights_path=WEIGHTS)
     assert scales is not None, "checked-in sidecar is stale vs weights"
     qp = quant.quantize_params(pipe.model, params, [], act_scales=scales)
-    assert sum(1 for k in qp if k.endswith("/kernel_q8")) >= 80
+    assert sum(1 for k in qp if k.endswith("/kernel_q8")) >= 38
     # the quality bar, not bit-parity: sidecar scales come from a
     # different (deploy) calibration run, so near-threshold detection
     # sets can differ; what must hold is the detection-loop criterion

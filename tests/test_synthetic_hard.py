@@ -77,10 +77,12 @@ def test_occlusion_occurs_and_is_analytically_visible(src):
     some frame has a target with <80% of its solo-render pixels visible
     while still partially in view."""
     best = 1.0
-    for f in range(0, 120, 4):
+    for f in range(0, 360, 4):
         vf = src.visible_fraction(f)
         m = vf[(vf > 0.02)].min() if (vf > 0.02).any() else 1.0
         best = min(best, float(m))
+        if best < 0.8:
+            break
     assert best < 0.8, f"no occlusion event found (min visible {best})"
 
 

@@ -98,9 +98,16 @@ def evaluate_weights(
     from rt3d.pipeline.step import build_pipeline
 
     rng = np.random.default_rng(seed)
+    # post-hoc score thresholds: filtering NMS survivors by score >= t is
+    # EXACTLY the detection set of running NMS with conf_thresh=t
+    # (suppression flows strictly from higher to lower scores), so one
+    # pass yields the whole operating curve without re-jitting.
+    sweep = [t for t in (0.25, 0.4, 0.6, 0.8) if t >= conf_thresh]
     ious = []
-    matched = total_gt = gt_small = 0
-    counts = {"tp": 0, "fp_dup": 0, "fp_misclass": 0, "fp_ghost": 0}
+    matched = {t: 0 for t in sweep}
+    total_gt = gt_small = 0
+    counts = {t: {"tp": 0, "fp_dup": 0, "fp_misclass": 0, "fp_ghost": 0}
+              for t in sweep}
     ndets = []
     base_pipe = pipe
     for f in range(num_frames):
@@ -131,12 +138,15 @@ def evaluate_weights(
         pred_masks = np.asarray(masks_fn(protos, det))  # (C, D, H, W)
         det_valid = np.asarray(det.valid)
         det_cls = np.asarray(det.classes)
+        det_scores = np.asarray(det.scores)
         ndets.append(int(det_valid.sum()))
         for c in range(2):
-            fm = match_frame(gt_all[c], cls_all, pred_masks[c],
-                             det_valid[c], det_cls[c])
-            for k in counts:
-                counts[k] += fm[k]
+            for t in sweep:
+                fm = match_frame(gt_all[c], cls_all, pred_masks[c],
+                                 det_valid[c] & (det_scores[c] >= t),
+                                 det_cls[c])
+                for k in counts[t]:
+                    counts[t][k] += fm[k]
             for k in range(n_obj):   # recall over targets only
                 g = gt_all[c, k]
                 npx = g.sum()
@@ -144,28 +154,42 @@ def evaluate_weights(
                     gt_small += int(npx >= 16)
                     continue
                 total_gt += 1
-                best = 0.0
+                best = {t: 0.0 for t in sweep}
                 for d in range(pred_masks.shape[1]):
                     if not det_valid[c, d] or det_cls[c, d] != cls_all[k]:
                         continue
-                    best = max(best, mask_iou(g, pred_masks[c, d]))
-                ious.append(best)
-                if best >= 0.5:
-                    matched += 1
+                    iou = mask_iou(g, pred_masks[c, d])
+                    for t in sweep:
+                        if det_scores[c, d] >= t:
+                            best[t] = max(best[t], iou)
+                ious.append(best[sweep[0]])
+                for t in sweep:
+                    if best[t] >= 0.5:
+                        matched[t] += 1
 
-    n_fp = counts["fp_dup"] + counts["fp_misclass"] + counts["fp_ghost"]
-    n_pred = counts["tp"] + n_fp
-    return {
-        "recall": matched / max(total_gt, 1),
+    def row(t):
+        cc = counts[t]
+        n_fp = cc["fp_dup"] + cc["fp_misclass"] + cc["fp_ghost"]
+        n_pred = cc["tp"] + n_fp
+        return {
+            "recall": matched[t] / max(total_gt, 1),
+            "precision": cc["tp"] / max(n_pred, 1),
+            "fp_per_frame": n_fp / max(num_frames, 1),
+            "dup_rate": cc["fp_dup"] / max(n_pred, 1),
+            **cc,
+        }
+
+    out = {
+        **row(sweep[0]),
         "mean_iou": float(np.mean(ious)) if ious else 0.0,
-        "precision": counts["tp"] / max(n_pred, 1),
-        "fp_per_frame": n_fp / max(num_frames, 1),
-        "dup_rate": counts["fp_dup"] / max(n_pred, 1),
-        **counts,
         "mean_dets": float(np.mean(ndets)) if ndets else 0.0,
         "gt_instances": total_gt,
         "gt_below_min_visible": gt_small,
         "min_visible_px": min_visible_px,
+        "conf_thresh": conf_thresh,
         "domain": domain,
         "frames": num_frames,
+        # the full operating curve (exact — see sweep note above)
+        "by_conf": {f"{t:g}": row(t) for t in sweep[1:]},
     }
+    return out

@@ -131,10 +131,32 @@ def main() -> int:
         return TrainState(params=params, opt_state=optimizer.init(params),
                           step=jnp.int32(0))
 
+    from rt3d.train.augment import (
+        anchor_flip_perm, photometric_augment, random_hflip,
+    )
+
+    # horizontal flip is geometry-exact only under a symmetric letterbox
+    # pad (pad_w even; 0 for the shipped 720p -> 384x640 input)
+    pad_w = input_hw[1] - meta.new_hw[1]
+    can_flip = pad_w % 2 == 0
+    flip_perm = jnp.asarray(anchor_flip_perm(input_hw)) if can_flip else None
+
     @jax.jit
     def step_fn(state, batch):
+        # fresh augmentation draw every step (rt3d/train/augment.py) — the
+        # rendered dataset is small; without this the cls head memorizes
+        # per-scene appearance and ghosts on held-out scenes
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed + 7),
+                                 state.step)
+        k_photo, k_flip = jax.random.split(key)
+        imgs = batch["images"]
+        if can_flip:
+            imgs, batch = random_hflip(k_flip, imgs, batch, flip_perm,
+                                       input_hw[1])
+        aug = photometric_augment(k_photo, imgs)
+
         def loss_fn(p):
-            return seg_detection_loss(model, p, batch["images"], batch)
+            return seg_detection_loss(model, p, aug, batch)
 
         (loss, parts), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
