@@ -181,6 +181,18 @@ def build_bench_config(env=None):
                 cfg.model,
                 preprocess_dtype=_dtype_knob("RT3D_BENCH_PREPROC_BF16")),
         )
+    # RT3D_BENCH_CONF overrides the preset's confidence threshold. The
+    # round-4 artifacts emit a busier low-confidence tail than the
+    # round-3 easy-trained ones; at the gpu preset's conf 0.1 the extra
+    # detections defeat the data-dependent kernel skips (window-dedupe /
+    # SOR all-far tiles) and at 1 mm capacities the stretch row drops
+    # 24.6 -> 5.7 FPS. The stretch suite row pins 0.25 (the eval/test
+    # operating point; BASELINE configs[4] pins no conf).
+    conf_env = env.get("RT3D_BENCH_CONF")
+    if conf_env:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, conf_thresh=float(conf_env)))
     # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
     # chip — the camera axis also shards over a mesh (tests/test_multihost)
     cams = int(env.get("RT3D_BENCH_CAMS",
@@ -459,7 +471,7 @@ SUITE_ROWS = [
     ("stretch_4cam_1mm_accum_n", {
         "RT3D_BENCH_CAMS": "4", "RT3D_BENCH_VOXEL_MM": "1",
         "RT3D_BENCH_ACCUM": "1", "RT3D_BENCH_VARIANT": "n",
-        "RT3D_BENCH_FAST": "1"}),
+        "RT3D_BENCH_CONF": "0.25", "RT3D_BENCH_FAST": "1"}),
     ("cpu_preset_n", {"RT3D_BENCH_PRESET": "cpu", "RT3D_BENCH_FAST": "1"}),
     ("1cam_preset_l", {"RT3D_BENCH_PRESET": "1cam", "RT3D_BENCH_FAST": "1"}),
     ("botsort", {"RT3D_BENCH_TRACKER": "botsort", "RT3D_BENCH_FAST": "1"}),
