@@ -193,6 +193,15 @@ def build_bench_config(env=None):
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(
                 cfg.model, conf_thresh=float(conf_env)))
+    # RT3D_BENCH_DEDUPE_PX: post-NMS centre-distance duplicate
+    # suppression (ModelConfig.dedupe_center_px). The stretch row pins
+    # 24 px: the round-4 detector's duplicate boxes otherwise multiply
+    # the 1 mm fused-SOR slots (NOTES.md attribution).
+    dd_env = env.get("RT3D_BENCH_DEDUPE_PX")
+    if dd_env:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, dedupe_center_px=float(dd_env)))
     # RT3D_BENCH_CAMS>2 exercises the BASELINE stretch rig (4 cams) on one
     # chip — the camera axis also shards over a mesh (tests/test_multihost)
     cams = int(env.get("RT3D_BENCH_CAMS",
@@ -471,7 +480,7 @@ SUITE_ROWS = [
     ("stretch_4cam_1mm_accum_n", {
         "RT3D_BENCH_CAMS": "4", "RT3D_BENCH_VOXEL_MM": "1",
         "RT3D_BENCH_ACCUM": "1", "RT3D_BENCH_VARIANT": "n",
-        "RT3D_BENCH_CONF": "0.25", "RT3D_BENCH_FAST": "1"}),
+        "RT3D_BENCH_FAST": "1"}),
     ("cpu_preset_n", {"RT3D_BENCH_PRESET": "cpu", "RT3D_BENCH_FAST": "1"}),
     ("1cam_preset_l", {"RT3D_BENCH_PRESET": "1cam", "RT3D_BENCH_FAST": "1"}),
     ("botsort", {"RT3D_BENCH_TRACKER": "botsort", "RT3D_BENCH_FAST": "1"}),

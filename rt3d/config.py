@@ -189,6 +189,13 @@ class ModelConfig:
     iou_thresh: float = 0.7         # ultralytics NMS default
     max_detections: int = 20        # precedent: max_det=20, `1cam/rt-tracking.py:212`
     nms_pre_topk: int = 128         # candidates entering NMS (static)
+    # post-NMS same-class centre-distance suppression radius in ORIGINAL
+    # image pixels (0 = off, the reference-parity default). In-env
+    # trained detectors emit near-duplicate boxes below the NMS IoU gate
+    # that multiply downstream object slots (and the fused-SOR work, see
+    # NOTES.md round-4 stretch attribution); 24 px at HD720 ~= 2.5 cm at
+    # 1 m — below any real object separation in the operating scenes.
+    dedupe_center_px: float = 0.0
     class_filter: Tuple[int, ...] = (39, 41)  # Bottle + Cup, `2cams_mask_gpu.py:274`
     weights: Optional[str] = None   # path to converted params (.npz) or .pt
     compute_dtype: str = "bfloat16"

@@ -149,11 +149,22 @@ def sor_inlier_mask_slots(
     s, cap, _ = points.shape
     k = min(nb_neighbors, cap)
     if cap > _EXACT_MAX_N:
-        return jax.lax.map(
-            lambda args: sor_inlier_mask(
-                args[0], args[1], nb_neighbors, std_ratio, use_pallas),
-            (points, valid),
-        )
+        # Per-slot fallback MUST skip empty slots: without the cond,
+        # every padded slot pays the full windowed SOR (Morton sort +
+        # window scan) on `cap` rows of padding. The round-3 slot-batch
+        # rewrite dropped this guard and the 1 mm stretch config (cap
+        # 16384, most of max_objects_fused slots absent) fell from 24.6
+        # to 5.7 FPS — chip-attributed 2026-08-20 (NOTES.md round 4).
+        def one(args):
+            p, v = args
+            return jax.lax.cond(
+                v.any(),
+                lambda: sor_inlier_mask(p, v, nb_neighbors, std_ratio,
+                                        use_pallas),
+                lambda: v,
+            )
+
+        return jax.lax.map(one, (points, valid))
     mean_d = saturated = None
     if use_pallas and cap >= 256:
         from rt3d.geometry.pallas_ops import (

@@ -205,6 +205,36 @@ def nms_fixed(
     )
 
 
+def suppress_center_duplicates(det: Detections, dist_px: float) -> Detections:
+    """Post-NMS same-class CENTRE-DISTANCE suppression (exact greedy in
+    slot/score order, like the classic NMS recurrence — only survivors
+    suppress, so chains cannot cascade past a live slot).
+
+    Exists for in-environment-trained detectors: their near-duplicate
+    boxes can sit below the NMS IoU gate (partial boxes on one object
+    overlap < 0.45) yet share the object's centre; each survivor then
+    becomes its own object slot downstream and multiplies the fused-SOR
+    work (NOTES.md round-4 stretch attribution). The reference's
+    COCO-trained model does not need this — `dedupe_center_px` defaults
+    to 0 (off) for parity. Choose the radius below the closest REAL
+    object separation (24 px at HD720 ~= 2.5 cm at 1 m)."""
+    d = det.capacity
+    cx = (det.boxes[:, 0] + det.boxes[:, 2]) * 0.5
+    cy = (det.boxes[:, 1] + det.boxes[:, 3]) * 0.5
+    d2 = (cx[:, None] - cx[None, :]) ** 2 + (cy[:, None] - cy[None, :]) ** 2
+    same = det.classes[:, None] == det.classes[None, :]
+    later = jnp.arange(d)[None, :] > jnp.arange(d)[:, None]
+    conflict = (d2 <= jnp.float32(dist_px) ** 2) & same & later
+
+    def body(alive, i):
+        kill = alive[i] & conflict[i] & alive
+        return alive & ~kill, None
+
+    alive, _ = jax.lax.scan(body, det.valid, jnp.arange(d))
+    return det.replace(valid=alive,
+                       scores=jnp.where(alive, det.scores, 0.0))
+
+
 def boxes_to_original(boxes: jax.Array, meta: LetterboxMeta) -> jax.Array:
     """Letterboxed-input xyxy -> original-image xyxy, clipped."""
     sh, sw = meta.src_hw

@@ -60,6 +60,7 @@ from rt3d.models.yolo.postprocess import (
     letterbox_params,
     nms_fixed,
     preprocess_frame,
+    suppress_center_duplicates,
 )
 from rt3d.tracking.bytetrack import TrackerState, bytetrack_init, bytetrack_step
 
@@ -216,7 +217,10 @@ class Pipeline:
                 max_det=p.max_detections, pre_topk=p.nms_pre_topk,
                 class_mask=class_mask,
             )
-            return det.replace(boxes=boxes_to_original(det.boxes, meta))
+            det = det.replace(boxes=boxes_to_original(det.boxes, meta))
+            if p.dedupe_center_px > 0:
+                det = suppress_center_duplicates(det, p.dedupe_center_px)
+            return det
 
         det = jax.vmap(one)(boxes, scores, coeff_l)
         emb = None

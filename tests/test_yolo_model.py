@@ -351,3 +351,37 @@ def test_cast_params_noop_at_f32():
     finally:
         ycore.set_compute_dtype(jnp.bfloat16)
     assert cast is params
+
+
+def test_suppress_center_duplicates_exact_greedy():
+    """Post-NMS centre dedupe: score order wins, only SURVIVORS suppress
+    (a chain A-B-C with A~B and B~C but A!~C keeps A and C), classes are
+    respected, invalid slots never suppress."""
+    import jax.numpy as jnp
+
+    from rt3d.models.yolo.postprocess import (
+        Detections, suppress_center_duplicates,
+    )
+
+    def box(cx, cy):
+        return [cx - 10, cy - 10, cx + 10, cy + 10]
+
+    boxes = jnp.asarray([
+        box(100, 100),   # 0: survivor (best score)
+        box(115, 100),   # 1: dup of 0 (15 px)
+        box(130, 100),   # 2: 30 px from 0, 15 from killed 1 -> SURVIVES
+        box(102, 100),   # 3: other class, same spot -> survives
+        box(101, 99),    # 4: INVALID slot at same spot
+        box(400, 400),   # 5: far away -> survives
+    ], jnp.float32)
+    det = Detections(
+        boxes=boxes,
+        scores=jnp.asarray([0.9, 0.8, 0.7, 0.6, 0.5, 0.4]),
+        classes=jnp.asarray([39, 39, 39, 41, 39, 39], jnp.int32),
+        coeffs=jnp.zeros((6, 4)),
+        valid=jnp.asarray([True, True, True, True, False, True]),
+    )
+    out = suppress_center_duplicates(det, dist_px=20.0)
+    assert np.asarray(out.valid).tolist() == [
+        True, False, True, True, False, True]
+    assert float(out.scores[1]) == 0.0
