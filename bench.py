@@ -421,36 +421,41 @@ def main() -> int:
         # here (the stretch configs are validated by overflow == 0)
         result["overflow_last_frame"] = int(res.last_outputs.overflow)
 
+    # --- device time per frame, measured on-device (profiler) -----------
+    # Runs in EVERY mode, including RT3D_BENCH_FAST suite rows: the FPS
+    # value is relay-phase-dependent (unchanged programs swing 107-134,
+    # NOTES.md), so a row without its own device_step_ms cannot separate a
+    # code regression from tunnel noise (VERDICT r4 weak #4: the stretch
+    # SOR regression hid behind a single FPS sample).
+    try:
+        from rt3d.runtime.profiling import profile_op_times
+
+        import jax.numpy as jnp
+
+        calib = driver.calib
+        k_rgb = jnp.stack([packets[i].rgb if hasattr(packets[i].rgb, "device")
+                           else jnp.asarray(packets[i].rgb)
+                           for i in range(scan)])
+        k_depth = jnp.stack([packets[i].depth if hasattr(packets[i].depth, "device")
+                             else jnp.asarray(packets[i].depth)
+                             for i in range(scan)])
+        good = jnp.ones((scan,), bool)
+
+        def once():
+            # _step_scan donates its state arg — hand it a fresh copy
+            # each call (tiny pytree; the copies are noise in the trace)
+            st = jax.tree_util.tree_map(jax.numpy.copy, driver.state)
+            _, out = driver._step_scan(
+                driver.params, st, k_rgb, k_depth, calib, good)
+            return out.workspace.valid
+
+        total_ms, _ = profile_op_times(once, iters=3)
+        result["device_step_ms"] = round(total_ms / scan, 2)
+    except Exception as e:  # profiling must never sink the bench
+        result["device_step_ms"] = None
+        result["device_step_err"] = repr(e)[:120]
+
     if not fast:
-        # --- device time per frame, measured on-device (profiler) -------
-        try:
-            from rt3d.runtime.profiling import profile_op_times
-
-            import jax.numpy as jnp
-
-            calib = driver.calib
-            k_rgb = jnp.stack([packets[i].rgb if hasattr(packets[i].rgb, "device")
-                               else jnp.asarray(packets[i].rgb)
-                               for i in range(scan)])
-            k_depth = jnp.stack([packets[i].depth if hasattr(packets[i].depth, "device")
-                                 else jnp.asarray(packets[i].depth)
-                                 for i in range(scan)])
-            good = jnp.ones((scan,), bool)
-
-            def once():
-                # _step_scan donates its state arg — hand it a fresh copy
-                # each call (tiny pytree; the copies are noise in the trace)
-                st = jax.tree_util.tree_map(jax.numpy.copy, driver.state)
-                _, out = driver._step_scan(
-                    driver.params, st, k_rgb, k_depth, calib, good)
-                return out.workspace.valid
-
-            total_ms, _ = profile_op_times(once, iters=3)
-            result["device_step_ms"] = round(total_ms / scan, 2)
-        except Exception as e:  # profiling must never sink the bench
-            result["device_step_ms"] = None
-            result["device_step_err"] = repr(e)[:120]
-
         # --- host-path: frames cross host->device via the prefetch ------
         drv_h = PipelineDriver(pipe, params, mode="fused",
                                pipeline_depth=depth, frames_per_dispatch=scan)

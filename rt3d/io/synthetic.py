@@ -35,9 +35,14 @@ Two scene families (the `domain` knob):
     - per-frame Gaussian RGB sensor noise.
   Rendering is a vectorized ray-caster with a z-buffer; `gt_masks`
   returns VISIBLE (occlusion-aware) instance masks, which is also what
-  a segmentation model is supervised on.  Depth stays analytic-exact in
-  both domains (ZED depth-noise modelling is out of scope; the depth
-  consumers are tested against exact geometry).
+  a segmentation model is supervised on.  Depth is analytic-exact by
+  default; the opt-in ``depth_noise`` knob (`DepthNoise`) corrupts the
+  SERVED depth maps with a ZED-NEURAL-like artifact model — range-
+  dependent Gaussian sigma, isolated speckle outliers, random dropout,
+  and edge 'flying pixels' at discontinuities — while every ground-truth
+  accessor stays exact, so goldens can measure what the SOR stages
+  actually buy (`2cam/2cams.py:72-76` NEURAL depth;
+  `vision_pipeline_utils.py:48-58` the SOR that cleans it).
 """
 
 from __future__ import annotations
@@ -55,6 +60,36 @@ from rt3d.io.source import FramePacket
 # any preset `class_filter` (2cam 39/41; cpu 39/41/42/43/45; 1cam
 # 39/41/42/43/44/45/46 — config.py), so the pipeline must drop them.
 DISTRACTOR_CLASSES = (73, 64)  # book, mouse
+
+
+@dataclass
+class DepthNoise:
+    """ZED-NEURAL-like depth corruption (opt-in; served frames only —
+    ground-truth accessors stay analytic-exact).
+
+    The artifact classes mirror what stereo NEURAL depth actually emits
+    and what the reference's SOR stages exist to remove
+    (`vision_pipeline_utils.py:48-58`):
+
+    - ``sigma_coeff``: Gaussian sigma = coeff * z^2 meters — stereo
+      disparity error grows quadratically with range (~0.4% of z at 1 m
+      with the default).
+    - ``speckle_frac`` / ``speckle_m``: isolated pixels offset by up to
+      +-speckle_m along the ray — the floating speckle SOR removes.
+    - ``dropout_frac``: random invalid (0) pixels, rejected by the
+      pipeline's ``depth_min_m`` gate like the SDK's NaN holes.
+    - ``edge_flare`` / ``edge_jump_m``: at depth discontinuities larger
+      than ``edge_jump_m``, pixels become 'flying pixels' interpolated
+      between foreground and background — the classic stereo edge
+      artifact that puts points in free space behind object rims.
+    """
+
+    sigma_coeff: float = 0.004
+    speckle_frac: float = 0.002
+    speckle_m: float = 0.25
+    dropout_frac: float = 0.01
+    edge_flare: float = 0.5
+    edge_jump_m: float = 0.1
 
 
 @dataclass
@@ -126,6 +161,7 @@ class SyntheticSource:
         num_distractors: Optional[int] = None,
         rgb_noise: Optional[float] = None,
         tilt_deg: Optional[float] = None,
+        depth_noise: "Optional[DepthNoise | bool]" = None,
     ):
         self._n_cams = num_cameras
         self._n_frames = num_frames
@@ -142,6 +178,8 @@ class SyntheticSource:
         self._phases = rng.uniform(0, 2 * math.pi, num_objects)
         self._speeds = rng.uniform(0.5, 1.0, num_objects)
         self._memo: Tuple[int, tuple] | None = None
+        self.depth_noise = (DepthNoise() if depth_noise is True
+                            else (depth_noise or None))
 
         if domain == "easy":
             self.rgb_noise = float(rgb_noise or 0.0)
@@ -534,8 +572,46 @@ class SyntheticSource:
         self._memo = (index, out)
         return out
 
+    def _apply_depth_noise(self, depth: np.ndarray, index: int) -> np.ndarray:
+        """Corrupt a (C, H, W) exact depth stack per `DepthNoise`.
+
+        Deterministic per (seed, index) so recorded sequences and goldens
+        replay bit-exactly; never mutates the memoized exact render."""
+        nz = self.depth_noise
+        rng = np.random.default_rng(
+            (self.seed * 2_000_003 + 7 * index + 13) & 0x7FFFFFFF)
+        z = depth.astype(np.float32, copy=True)
+        valid = z > 0
+        if nz.sigma_coeff > 0:
+            z = np.where(
+                valid,
+                z + rng.standard_normal(z.shape).astype(np.float32)
+                * (nz.sigma_coeff * z * z),
+                z)
+        if nz.edge_flare > 0:
+            for axis in (-1, -2):
+                nb = np.roll(z, 1, axis=axis)
+                nb_ok = np.roll(valid, 1, axis=axis)
+                jump = np.abs(z - nb) > nz.edge_jump_m
+                pick = (jump & valid & nb_ok
+                        & (rng.uniform(size=z.shape) < nz.edge_flare))
+                alpha = rng.uniform(0.2, 0.8, z.shape).astype(np.float32)
+                z = np.where(pick, alpha * z + (1.0 - alpha) * nb, z)
+        if nz.speckle_frac > 0:
+            spk = valid & (rng.uniform(size=z.shape) < nz.speckle_frac)
+            z = np.where(
+                spk,
+                z + rng.uniform(-nz.speckle_m, nz.speckle_m,
+                                z.shape).astype(np.float32),
+                z)
+        if nz.dropout_frac > 0:
+            z = np.where(rng.uniform(size=z.shape) < nz.dropout_frac, 0.0, z)
+        return np.maximum(z, 0.0)
+
     def get(self, index: int) -> FramePacket:
         rgb, depth, _, _ = self._render_all(index)
+        if self.depth_noise is not None:
+            depth = self._apply_depth_noise(depth, index)
         if self.rgb_noise:
             nrng = np.random.default_rng(
                 (self.seed * 1_000_003 + index) & 0x7FFFFFFF)

@@ -198,12 +198,26 @@ class PipelineDriver:
                 if fetch_outputs:
                     pending.append((i, out))
                     if len(pending) >= self.pipeline_depth:
-                        j, out_j = pending.popleft()
-                        jax.block_until_ready(
-                            (out_j.workspace.valid, out_j.objects_flat.points)
-                        )
-                        if on_frame is not None:
-                            on_frame(j, out_j)
+                        # COALESCED sync: dispatches execute in launch
+                        # order on the single device stream, so readiness
+                        # of the NEWEST pending output implies every
+                        # earlier one. One block clears the whole queue —
+                        # the dev relay charges ~25 ms per synchronous
+                        # call, so syncing per frame caps scan=1 at
+                        # ~35 FPS no matter how fast the device is
+                        # (VERDICT r4 #5); amortizing it over
+                        # pipeline_depth frames removes that cap while
+                        # keeping per-frame dispatch (a live camera can
+                        # feed this loop frame-by-frame, unlike scan>1).
+                        # ONE leaf: a dispatched program materializes all
+                        # its outputs atomically, and each extra leaf in a
+                        # block_until_ready tuple can cost its own relay
+                        # round trip
+                        jax.block_until_ready(pending[-1][1].workspace.valid)
+                        while pending:
+                            j, out_j = pending.popleft()
+                            if on_frame is not None:
+                                on_frame(j, out_j)
             else:
                 out = self._run_profiled(rgb, depth)
                 if on_frame is not None:
@@ -217,8 +231,10 @@ class PipelineDriver:
                 fps_hist.append(1.0 / max(total, 1e-9))
         # drain the pipeline INSIDE the measured window — in-flight frames
         # are not done yet and deep pipelining must not get credit for them
+        # (same coalesced sync: block once on the newest, one leaf)
+        if pending:
+            jax.block_until_ready(pending[-1][1].workspace.valid)
         for j, out_j in pending:
-            jax.block_until_ready((out_j.workspace.valid, out_j.objects_flat.points))
             if on_frame is not None:
                 on_frame(j, out_j)
         elapsed = time.perf_counter() - t_measure if t_measure is not None else 0.0
@@ -322,9 +338,9 @@ class PipelineDriver:
             # good frames reach on_frame / last_outputs, mirroring the
             # frame-at-a-time loop's `if bad: continue`
             s0, out_j, good_np, n_real = pending.popleft()
-            jax.block_until_ready(
-                (out_j.workspace.valid, out_j.objects_flat.points)
-            )
+            # one leaf: program outputs materialize atomically, extra
+            # leaves can cost extra synchronous relay round trips
+            jax.block_until_ready(out_j.workspace.valid)
             picked = None
             for j in range(n_real):
                 if not good_np[j]:

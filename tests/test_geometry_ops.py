@@ -445,3 +445,49 @@ def test_segmented_scans_match_oracle(rng):
         jnp.asarray(val), jnp.asarray(start)))
     np.testing.assert_array_equal(got_or, or_expect)
     np.testing.assert_allclose(got_sum, sum_expect, rtol=2e-5, atol=1e-5)
+
+
+def _overflow_attribution_case(voxel: float):
+    """Stage-1 block-compaction pressure with per-detection attribution.
+
+    512 unique-voxel pixels in 4 blocks of 128; det0 owns block 0, det1
+    owns blocks 2-3; stage1_capacity=256 takes the first two LIVE blocks
+    (0 and 2), dropping block 3 — 128 pixels that all belong to det1.
+    Exact attribution (VERDICT r4 #10) must charge det1 alone; the former
+    scalar broadcast charged both."""
+    n, d = 512, 2
+    idx = np.arange(n)
+    pts = np.stack([
+        (idx % 40 - 20) * voxel,
+        (idx // 40 - 6) * voxel,
+        np.zeros(n),
+    ], -1).astype(np.float32)
+    valid = np.ones(n, bool)
+    masks = np.stack([idx < 128, idx >= 256])
+    buf, overflow = voxel_downsample_masks(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(masks), voxel,
+        capacity=256, stage1_capacity=256, union_capacity=512,
+    )
+    ovf = np.asarray(overflow)
+    kept = np.asarray(buf.valid).sum(axis=1)
+    assert list(kept) == [128, 128]
+    assert list(ovf) == [0, 128], ovf
+    # union-shrink pressure on top: the truncation drops lex-largest
+    # emitted voxels; whichever detection owned them is the one charged.
+    # Invariant: overflow[i] == live_pixels[i] - kept[i] for every i.
+    buf2, ovf2 = voxel_downsample_masks(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(masks), voxel,
+        capacity=192, stage1_capacity=256, union_capacity=192,
+    )
+    kept2 = np.asarray(buf2.valid).sum(axis=1)
+    live = np.array([128, 256])
+    np.testing.assert_array_equal(np.asarray(ovf2), live - kept2)
+    assert int(kept2.sum()) == 192
+
+
+def test_voxel_masks_overflow_attribution_packed():
+    _overflow_attribution_case(0.02)   # single-word packed path
+
+
+def test_voxel_masks_overflow_attribution_packed2():
+    _overflow_attribution_case(0.001)  # two-word 1 mm stretch path

@@ -217,3 +217,68 @@ def test_replay_determinism_roundtrip(tmp_path, scene):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     rep.close()
+
+
+def test_depth_noise_sor_earns_its_budget():
+    """Under ZED-like depth corruption (speckle + edge flying pixels +
+    range noise, `rt3d/io/synthetic.py:DepthNoise`), the workspace SOR
+    stage must remove most spurious free-space voxels while keeping the
+    true surface — and DISABLING it must measurably corrupt the output vs
+    exact-depth ground truth (VERDICT r4 #7; the reference runs SOR for
+    exactly this, `vision_pipeline_utils.py:48-58`, against NEURAL-depth
+    artifacts, `2cams.py:72-76`)."""
+    import dataclasses
+
+    from rt3d.io.synthetic import DepthNoise
+
+    cfg_off = tiny_config()
+    cfg_sor = dataclasses.replace(
+        cfg_off, pipeline=dataclasses.replace(
+            cfg_off.pipeline, workspace_sor=True))
+    # speckle-heavy mix: isolated outliers are SOR's target class; edge
+    # flying pixels form small CLUSTERS a kNN mean-dist rule rightly
+    # keeps some of (they have nearby neighbours), so they stay a minor
+    # component here and bound the removal ratio below
+    noise = DepthNoise(sigma_coeff=0.0015, speckle_frac=0.02,
+                       speckle_m=0.3, dropout_frac=0.01, edge_flare=0.3)
+    src_c = SyntheticSource(num_cameras=2, num_frames=2, hw=(H, W),
+                            num_objects=2)
+    src_n = SyntheticSource(num_cameras=2, num_frames=2, hw=(H, W),
+                            num_objects=2, depth_noise=noise)
+    pkt_c, pkt_n = src_c.get(0), src_n.get(0)
+    # ground truth stays exact while the served packet is corrupted
+    assert not np.array_equal(pkt_c.depth, pkt_n.depth)
+
+    calib = CameraCalib.from_config(cfg_off)
+    voxel = cfg_off.pipeline.voxel_size
+
+    def run(cfg, depth):
+        pipe = build_pipeline(cfg)
+        params = pipe.model.init(jax.random.PRNGKey(0))
+        st = pipe.init_state()
+        rgb = jnp.asarray(pkt_n.rgb)
+        _, out = jax.jit(pipe.step)(params, st, rgb, jnp.asarray(depth),
+                                    calib)
+        ws = out.workspace
+        return np.asarray(ws.points)[np.asarray(ws.valid)]
+
+    truth = run(cfg_off, pkt_c.depth)     # exact depth, no SOR: oracle set
+    with_sor = run(cfg_sor, pkt_n.depth)
+    without = run(cfg_off, pkt_n.depth)
+
+    def spurious(x):
+        d2 = ((x[:, None] - truth[None]) ** 2).sum(-1).min(1)
+        return int((d2 > (3 * voxel) ** 2).sum())
+
+    def coverage(x):
+        d2 = ((truth[:, None] - x[None]) ** 2).sum(-1).min(1)
+        return float((d2 <= (3 * voxel) ** 2).mean())
+
+    sp_on, sp_off = spurious(with_sor), spurious(without)
+    # the noise really injects free-space structure ...
+    assert sp_off >= 10, sp_off
+    # ... SOR removes more than half of it (clustered flying pixels have
+    # neighbours and legitimately survive a kNN mean-dist rule) ...
+    assert sp_on <= sp_off // 2, (sp_on, sp_off)
+    # ... without eating the true surface
+    assert coverage(with_sor) > 0.85, coverage(with_sor)

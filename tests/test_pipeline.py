@@ -178,6 +178,24 @@ def test_step_scan_matches_sequential_steps(pipe_and_params):
     assert int(st_scan.tracker.frame_id[0]) == int(st.tracker.frame_id[0]) == 2
 
 
+def test_driver_coalesced_drain_order(pipe_and_params):
+    """Per-frame fused mode with pipeline_depth=3: the coalesced sync
+    (one block_until_ready clears the whole pending queue — VERDICT r4
+    #5 latency-mode fix) must still deliver every frame's outputs to
+    on_frame exactly once, in order, with per-frame state advance."""
+    from rt3d.runtime.driver import PipelineDriver
+
+    pipe, params = pipe_and_params
+    src = SyntheticSource(num_cameras=2, num_frames=7, hw=(H, W))
+    seen = []
+    driver = PipelineDriver(pipe, params, mode="fused", pipeline_depth=3)
+    res = driver.run(src, num_frames=7, warmup=0,
+                     on_frame=lambda i, o: seen.append(i))
+    assert seen == list(range(7))
+    assert res.mean_fps > 0 and res.skipped_frames == 0
+    assert int(driver.state.tracker.frame_id[0]) == 7
+
+
 def test_driver_scan_mode_runs(pipe_and_params):
     """PipelineDriver(frames_per_dispatch=2) over 5 frames (odd tail)."""
     from rt3d.runtime.driver import PipelineDriver

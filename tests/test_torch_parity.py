@@ -217,3 +217,127 @@ def test_structural_coverage_is_exact(tmp_path):
     del broken[key]
     with pytest.raises(ValueError, match="missing"):
         yconvert.verify_against_model(broken, jm)
+
+
+@pytest.mark.slow
+def test_production_shape_full_pipeline_parity_l(tmp_path):
+    """VERDICT r4 #8: convert -> forward -> decode -> NMS -> retina masks
+    at a production shape (192x320, stride-32 multiple of the deployed
+    384x640 aspect) on variant l (`1cam/rt-tracking.py:78`), closing the
+    64x96-only parity gap. Forward/decode are tolerance-asserted against
+    the torch oracle; NMS and mask assembly are asserted against plain
+    NumPy semantic oracles on the same inputs (so near-threshold FP noise
+    in the forward cannot flip discrete decisions between frameworks)."""
+    HW2 = (192, 320)
+    torch.manual_seed(21)
+    tm = torch_yolo.SegModel("l", 80)
+    torch_yolo.populate_bn_stats(tm, seed=21, hw=HW2)
+    jm = YoloSeg(variant="l", num_classes=80, input_hw=HW2)
+    ckpt = {"model": tm, "epoch": -1}
+    path = str(tmp_path / "l.pt")
+    torch.save(ckpt, path)
+    params = yconvert.convert_checkpoint(path, jm)
+
+    torch.manual_seed(22)
+    x = torch.rand(1, 3, *HW2)
+    t_out = _torch_forward(tm, x)
+    j_out, _ = _jax_forward(jm, params, x)
+    names = ["box_logits", "cls_logits", "mask_coeffs", "protos"]
+    for name, t, j in zip(names, t_out, j_out):
+        assert t.shape == j.shape, f"{name}: {t.shape} vs {j.shape}"
+        # l is ~4x deeper than the variants in test_full_forward_parity;
+        # fused-BN rounding accumulates accordingly
+        np.testing.assert_allclose(j, t, rtol=5e-3, atol=5e-3, err_msg=name)
+
+    jboxes, jscores = decode_predictions(jm, jnp.asarray(j_out[0]),
+                                         jnp.asarray(j_out[1]))
+    with torch.no_grad():
+        tboxes = tm.decode_boxes(torch.from_numpy(t_out[0]), HW2).numpy()
+    np.testing.assert_allclose(np.asarray(jboxes), tboxes, rtol=2e-3,
+                               atol=5e-2)
+
+    # ---- NMS stage vs a straightforward NumPy oracle ------------------
+    from rt3d.models.yolo.postprocess import (
+        assemble_masks_retina, letterbox_params, nms_fixed,
+    )
+
+    boxes = np.asarray(jboxes[0], np.float64)
+    scores = np.asarray(jscores[0], np.float64)
+    coeffs = np.asarray(j_out[2][0])
+    conf = float(np.quantile(scores.max(-1), 1.0 - 40.0 / len(scores)))
+    det = nms_fixed(jnp.asarray(jboxes[0]), jnp.asarray(jscores[0]),
+                    jnp.asarray(coeffs), conf_thresh=conf, iou_thresh=0.45,
+                    max_det=8, pre_topk=64)
+
+    def _iou(a, b):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+        inter = ix * iy
+        ua = ((a[2] - a[0]) * (a[3] - a[1])
+              + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+        return inter / ua if ua > 0 else 0.0
+
+    cls = scores.argmax(-1)
+    sc = scores.max(-1)
+    cand = np.where(sc >= conf)[0]
+    cand = cand[np.argsort(-sc[cand], kind="stable")][:64]
+    keep = []
+    for i in cand:
+        if all(not (cls[j] == cls[i]
+                    and _iou(boxes[i], boxes[j]) > 0.45) for j in keep):
+            keep.append(i)
+        if len(keep) == 8:
+            break
+    nvalid = int(np.asarray(det.valid).sum())
+    assert nvalid == len(keep) > 0
+    got = sorted(zip(np.asarray(det.scores)[:nvalid].tolist(),
+                     np.asarray(det.classes)[:nvalid].tolist()))
+    want = sorted(zip(sc[keep].tolist(), cls[keep].tolist()))
+    for (gs, gc), (ws, wc) in zip(got, want):
+        assert gc == wc
+        np.testing.assert_allclose(gs, ws, rtol=1e-6)
+    # boxes of the kept set agree (match on score)
+    order = np.argsort(-np.asarray(det.scores)[:nvalid])
+    np.testing.assert_allclose(
+        np.asarray(det.boxes)[order], boxes[keep], rtol=1e-5, atol=1e-3)
+
+    # ---- retina-mask stage vs a NumPy half-pixel-bilinear oracle -------
+    meta = letterbox_params(HW2, HW2)   # identity letterbox at prod shape
+    protos = j_out[3][0]                # (hp, wp, nm)
+    dsel = np.asarray(det.coeffs)[:nvalid]
+    bsel = np.asarray(det.boxes)[:nvalid]
+    masks = np.asarray(assemble_masks_retina(
+        jnp.asarray(protos), jnp.asarray(dsel), jnp.asarray(bsel), meta))
+
+    def _resize_bilinear(img, oh, ow):
+        ih, iw = img.shape
+        ys = (np.arange(oh) + 0.5) * (ih / oh) - 0.5
+        xs = (np.arange(ow) + 0.5) * (iw / ow) - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, ih - 1)
+        x0 = np.clip(np.floor(xs).astype(int), 0, iw - 1)
+        y1 = np.clip(y0 + 1, 0, ih - 1)
+        x1 = np.clip(x0 + 1, 0, iw - 1)
+        wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+        wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+        a = img[np.ix_(y0, x0)] * (1 - wy) * (1 - wx)
+        b = img[np.ix_(y0, x1)] * (1 - wy) * wx
+        c = img[np.ix_(y1, x0)] * wy * (1 - wx)
+        d = img[np.ix_(y1, x1)] * wy * wx
+        return a + b + c + d
+
+    sh, sw = HW2
+    ys_g, xs_g = np.mgrid[0:sh, 0:sw].astype(np.float64)
+    for k in range(nvalid):
+        logit = np.einsum("n,hwn->hw", dsel[k].astype(np.float64),
+                          protos.astype(np.float64))
+        prob = _resize_bilinear(1.0 / (1.0 + np.exp(-logit)), sh, sw)
+        x1b, y1b, x2b, y2b = bsel[k]
+        inbox = ((xs_g >= x1b) & (xs_g < x2b)
+                 & (ys_g >= y1b) & (ys_g < y2b))
+        want_m = (prob > 0.5) & inbox
+        # f32-vs-f64 rounding may flip pixels only in a thin band at the
+        # 0.5 level set; demand near-exact agreement
+        mismatch = np.mean(masks[k] ^ want_m)
+        assert mismatch < 2e-3, (k, mismatch)
+    # at least one mask has real support (not an all-empty vacuous pass)
+    assert masks[:nvalid].any()

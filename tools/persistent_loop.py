@@ -34,7 +34,19 @@ def main() -> int:
     p.add_argument("--frames", type=int, default=48)
     p.add_argument("--variant", default="n")
     p.add_argument("--trained", action="store_true", default=True)
+    p.add_argument("--out", default=None,
+                   help="write a JSON evidence record here (e.g. "
+                        "runs_chip/persistent_loop.json)")
     args = p.parse_args()
+    record = {"tool": "persistent_loop", "variant": args.variant,
+              "frames": args.frames}
+
+    def _emit(rc):
+        if args.out:
+            import json
+            with open(args.out, "w") as f:
+                json.dump(record, f, indent=2)
+        return rc
 
     import numpy as np
     import jax
@@ -124,6 +136,8 @@ def main() -> int:
     fps_dispatch = n_base / dt
     print(f"dispatch path (blocking fetch/frame): {fps_dispatch:.2f} FPS "
           f"({1000 * dt / n_base:.1f} ms/frame)", flush=True)
+    record["dispatch_fps"] = round(fps_dispatch, 2)
+    record["dispatch_ms_per_frame"] = round(1000 * dt / n_base, 1)
 
     # ---- resident loop ------------------------------------------------
     print("compiling resident loop ...", flush=True)
@@ -159,12 +173,21 @@ def main() -> int:
         verdict = "KEEP" if fps_res > 1.3 * fps_dispatch else "KILL"
         print(f"verdict: {verdict} (resident {fps_res:.2f} vs dispatch "
               f"{fps_dispatch:.2f} FPS)")
+        record["resident_fps"] = round(fps_res, 2)
+        record["results_received"] = len(got)
+        if len(lat) > 0:
+            record["inter_result_ms_p50"] = round(float(np.median(lat)), 1)
+            record["inter_result_ms_p90"] = round(
+                float(np.percentile(lat, 90)), 1)
+        record["verdict"] = verdict
     except Exception as e:
         print(f"resident loop FAILED: {type(e).__name__}: {e}")
         print("verdict: KILL (io_callback path unsupported on this "
               "backend/relay)")
-        return 1
-    return 0
+        record["verdict"] = "KILL"
+        record["error"] = f"{type(e).__name__}: {e}"[:200]
+        return _emit(1)
+    return _emit(0)
 
 
 if __name__ == "__main__":
