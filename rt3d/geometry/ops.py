@@ -322,6 +322,28 @@ def lower_bound(c: jax.Array, q: jax.Array) -> jax.Array:
     return lo
 
 
+def _live_block_indices(blk_any: jax.Array, nb_cap: int):
+    """(bsafe, bvalid): indices of the first `nb_cap` live blocks in
+    ascending order, plus their validity.
+
+    ONE masked-iota single-operand unstable sort (live indices are unique,
+    so unstable is deterministic): dead blocks mask to the sentinel and
+    sort to the back; the first `nb_cap` sorted entries ARE the live block
+    indices in order. Replaces `lower_bound` over the cumsum — a
+    log2(nb)-iteration binary search whose per-iteration vector gathers
+    cost ~0.21 ms at the masks-path width (chip trace, round 5) vs
+    ~0.02 ms for the sort. Selection is bit-identical."""
+    nb = blk_any.shape[0]
+    idx = jnp.where(blk_any, jnp.arange(nb, dtype=jnp.int32), _INT_SENTINEL)
+    (sidx,) = jax.lax.sort((idx,), num_keys=1, is_stable=False)
+    if nb >= nb_cap:
+        sel = sidx[:nb_cap]
+    else:
+        sel = jnp.pad(sidx, (0, nb_cap - nb), constant_values=_INT_SENTINEL)
+    bvalid = sel != _INT_SENTINEL
+    return jnp.clip(sel, 0, nb - 1), bvalid
+
+
 def compact_scalars(emit: jax.Array, payloads, capacity: int):
     """Compact (N,) arrays by an emit mask into (capacity,) buffers using a
     STABLE flag sort (emitted rows first, order preserved).
@@ -769,10 +791,7 @@ def _voxel_masks_packed(points, valid, masks, voxel_size, capacity, bound_m,
     sel_b = sel.reshape(nb, blk)
     blk_any = jnp.any(sel_b, axis=1)
     blk_cnt = jnp.sum(sel_b.astype(jnp.int32), axis=1)
-    cb = jnp.cumsum(blk_any.astype(jnp.int32))
-    bidx = lower_bound(cb, jnp.arange(1, nb_cap + 1, dtype=jnp.int32))
-    bvalid = jnp.arange(nb_cap) < jnp.minimum(cb[-1], nb_cap)
-    bsafe = jnp.clip(bidx, 0, nb - 1)
+    bsafe, bvalid = _live_block_indices(blk_any, nb_cap)
     k1 = jnp.where(
         bvalid[:, None], key.reshape(nb, blk)[bsafe], _INT_SENTINEL
     ).reshape(-1)
@@ -880,10 +899,7 @@ def _voxel_masks_packed2(points, valid, masks, voxel_size, capacity, bound_m,
     sel_b = sel.reshape(nb, blk)
     blk_any = jnp.any(sel_b, axis=1)
     blk_cnt = jnp.sum(sel_b.astype(jnp.int32), axis=1)
-    cb = jnp.cumsum(blk_any.astype(jnp.int32))
-    bidx = lower_bound(cb, jnp.arange(1, nb_cap + 1, dtype=jnp.int32))
-    bvalid = jnp.arange(nb_cap) < jnp.minimum(cb[-1], nb_cap)
-    bsafe = jnp.clip(bidx, 0, nb - 1)
+    bsafe, bvalid = _live_block_indices(blk_any, nb_cap)
     hi1 = jnp.where(
         bvalid[:, None], hi.reshape(nb, blk)[bsafe], _INT_SENTINEL
     ).reshape(-1)

@@ -272,15 +272,20 @@ def conv_transpose2x(ctx: ParamCtx, name: str, x: jax.Array, cout: int) -> jax.A
         kernel = ctx.param("kernel", (2, 2, cin, cout), fan_in=cin)  # (kh, kw, I, O)
         bias = ctx.param("bias", (cout,))
     b, h, w, _ = x.shape
+    # output in the compute dtype, like every conv (core.py:203): the MXU
+    # still accumulates in f32 internally, so this costs one bf16 rounding
+    # — and halves the bytes of the pixel-shuffle relayout copy XLA emits
+    # after the einsum (chip trace round 5: 0.081 ms f32 -> ~0.04 bf16).
+    # f32 runs (tests, training) are unchanged: _COMPUTE_DTYPE is f32.
     y = jnp.einsum(
         "bhwi,pqio->bhpwqo",
         x.astype(_COMPUTE_DTYPE),
         kernel.astype(_COMPUTE_DTYPE),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=_COMPUTE_DTYPE,
         precision=jax.lax.Precision.HIGHEST,
     )
-    y = y.reshape(b, h * 2, w * 2, cout) + bias.astype(jnp.float32)
-    return y.astype(_COMPUTE_DTYPE)
+    y = y.reshape(b, h * 2, w * 2, cout)
+    return y + bias.astype(y.dtype)
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
