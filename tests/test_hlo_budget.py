@@ -53,11 +53,17 @@ def _sort_stats(cfg):
 
 
 def test_fused_step_sort_budget():
+    # round 5: +2 single-operand sorts (and -0 operands elsewhere) from
+    # `_live_block_indices` — the masks-path block selection trades a
+    # log2(nb)-iteration gather loop for one masked-iota sort per packed
+    # mask-downsample call, chip-measured -0.2 ms/frame (NOTES.md). The
+    # budget exists to catch ACCIDENTAL sort growth; this one is the
+    # deliberate fast path.
     s = _sort_stats(tiny_config())
-    assert s["n_sorts"] <= 8, s
+    assert s["n_sorts"] <= 10, s
     assert s["n_stable"] <= 1, s  # bytetrack slot ordering only
     assert s["max_operands"] <= 4, s
-    assert s["total_operands"] <= 14, s
+    assert s["total_operands"] <= 16, s
 
 
 @pytest.mark.slow
@@ -73,10 +79,11 @@ def test_fused_step_sort_budget_accumulate():
         ),
     )
     s = _sort_stats(cfg)
-    assert s["n_sorts"] <= 10, s
+    # +2 sorts / +2 operands: _live_block_indices, as above
+    assert s["n_sorts"] <= 12, s
     assert s["n_stable"] <= 1, s
     assert s["max_operands"] <= 4, s
-    assert s["total_operands"] <= 25, s
+    assert s["total_operands"] <= 27, s
 
 
 def test_quantized_step_lowering_runs_int8_convs():
